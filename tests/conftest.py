@@ -17,4 +17,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize registers the "axon" TPU backend and
+# force-appends it to jax_platforms; pin CPU before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU mesh"
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,367 @@
+"""Block-sparse flash attention for TPU (Pallas).
+
+One kernel expresses every VORTA attention expert:
+  * full 3D attention      -> every kv block active (dense tables)
+  * sliding-tile attention -> kv blocks from the static tile visibility mask
+    (reference drives a compiled flex_attention Triton kernel instead:
+    vorta/attention/sliding_attn_flex.py)
+  * low-res (coreset)      -> dense tables over the (shorter) pooled
+    sequence, tail masked via ``kv_valid_len``
+and, because the tables are *operands* (scalar-prefetched, so they may be
+traced data), a single call can give each head its own visitation pattern —
+that is how hard per-head routing runs without gather/scatter of heads or
+recompilation (reference gathers head subsets per expert instead:
+vorta/attention/wan.py:388-438).
+
+Mechanics: grid (B, H, num_q_blocks, W).  For q block ``i`` of head ``h``,
+``kv_index[h, i, j]`` names the j-th active kv block; entries past
+``kv_count[h, i]`` repeat the previous entry, so the Pallas pipeline elides
+their DMA and ``pl.when`` skips their compute — inactive steps cost ~nothing.
+Online softmax runs in f32 scratch across the W dimension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention_ref import attention_chunked
+
+NEG_INF = float(-1e30)
+
+
+# ---------------------------------------------------------------------------
+# Static block tables (hashable so they can parameterize jitted closures)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockTables:
+    """Per-(head, q-block) kv-block visitation lists.
+
+    kv_index: (H_tab, n_q_blocks, W) int32 — padded by repeating the last
+        active entry.  H_tab is 1 when all heads share the pattern.
+    kv_count: (H_tab, n_q_blocks) int32 — number of active entries.
+    """
+
+    kv_index: np.ndarray
+    kv_count: np.ndarray
+
+    def __post_init__(self):
+        object.__setattr__(self, "kv_index", np.ascontiguousarray(self.kv_index, np.int32))
+        object.__setattr__(self, "kv_count", np.ascontiguousarray(self.kv_count, np.int32))
+        if self.kv_index.ndim != 3 or self.kv_count.ndim != 2:
+            raise ValueError("kv_index must be (H, nq, W); kv_count (H, nq)")
+
+    @functools.cached_property
+    def _digest(self) -> bytes:
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(self.kv_index.tobytes())
+        h.update(self.kv_count.tobytes())
+        h.update(str(self.kv_index.shape).encode())
+        return h.digest()
+
+    def __hash__(self):
+        return hash(self._digest)
+
+    def __eq__(self, other):
+        return isinstance(other, BlockTables) and self._digest == other._digest
+
+    @property
+    def num_q_blocks(self) -> int:
+        return self.kv_index.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.kv_index.shape[2]
+
+    def block_mask(self, n_kv_blocks: int) -> np.ndarray:
+        """Densify to (H_tab, nq, n_kv_blocks) bool (for oracle / backward)."""
+        h, nq, w = self.kv_index.shape
+        mask = np.zeros((h, nq, n_kv_blocks), dtype=bool)
+        for hi in range(h):
+            for qi in range(nq):
+                c = self.kv_count[hi, qi]
+                mask[hi, qi, self.kv_index[hi, qi, :c]] = True
+        return mask
+
+
+def dense_tables(n_q_blocks: int, n_kv_blocks: int) -> BlockTables:
+    kv_index = np.broadcast_to(
+        np.arange(n_kv_blocks, dtype=np.int32), (1, n_q_blocks, n_kv_blocks)
+    )
+    kv_count = np.full((1, n_q_blocks), n_kv_blocks, dtype=np.int32)
+    return BlockTables(kv_index=kv_index, kv_count=kv_count)
+
+
+def tables_from_block_mask(block_mask: np.ndarray, pad_to: Optional[int] = None) -> BlockTables:
+    """block_mask: (nq, nkv) or (H, nq, nkv) bool."""
+    from ..geometry import block_mask_to_tables
+
+    if block_mask.ndim == 2:
+        block_mask = block_mask[None]
+    idx_list, cnt_list = [], []
+    width = pad_to
+    if width is None:
+        width = max(1, int(block_mask.sum(axis=-1).max()))
+    for hm in block_mask:
+        idx, cnt = block_mask_to_tables(hm, pad_to=width)
+        idx_list.append(idx)
+        cnt_list.append(cnt)
+    return BlockTables(kv_index=np.stack(idx_list), kv_count=np.stack(cnt_list))
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    # scalar prefetch
+    kv_index_ref,
+    kv_count_ref,
+    # inputs
+    q_ref,
+    k_ref,
+    v_ref,
+    # outputs
+    out_ref,
+    # scratch
+    m_scratch,
+    l_scratch,
+    acc_scratch,
+    *,
+    scale: float,
+    width: int,
+    shared_head_tables: bool,
+    kv_valid_len: int,
+    block_kv: int,
+    cast_p_to_v_dtype: bool,
+):
+    h = pl.program_id(1)
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    th = 0 if shared_head_tables else h
+    count = kv_count_ref[th, i]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    @pl.when(j < count)
+    def _compute():
+        q = q_ref[0, 0]  # (block_q, D)
+        k = k_ref[0, 0]  # (block_kv, D)
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # work in base-2: exp2 is cheaper than exp on the VPU, and the
+        # softmax is invariant to the change of base once folded into scale
+        s = s * (scale * 1.4426950408889634)  # (block_q, block_kv)
+
+        kv_block = kv_index_ref[th, i, j]
+        # mask padded kv tail (only the final logical block can be partial)
+        if kv_valid_len % block_kv != 0:
+            last_block = kv_valid_len // block_kv
+            valid_in_block = kv_valid_len % block_kv
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            limit = jnp.where(kv_block == last_block, valid_in_block, block_kv)
+            s = jnp.where(col < limit, s, NEG_INF)
+
+        m_prev = m_scratch[...]  # (block_q, 1)
+        l_prev = l_scratch[...]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(m_new <= NEG_INF, 0.0, m_new)
+        # exp2 underflows to exactly 0 for masked (-1e30) entries and for the
+        # initial m_prev, so no extra where-passes over the big block needed
+        p = jnp.exp2(s - m_safe)
+        alpha = jnp.exp2(m_prev - m_safe)
+        l_scratch[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...] = m_new
+
+        v = v_ref[0, 0]  # (block_kv, D)
+        if cast_p_to_v_dtype and v.dtype != jnp.float32:
+            p = p.astype(v.dtype)
+        pv = jax.lax.dot_general(
+            p,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(j == width - 1)
+    def _finalize():
+        l = l_scratch[...]
+        out = acc_scratch[...] / jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def sparse_flash_attention_raw(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_index: jax.Array,
+    kv_count: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    kv_valid_len: Optional[int] = None,
+    cast_p_to_v_dtype: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Forward-only block-sparse flash attention.
+
+    q: (B, H, Sq, D); k/v: (B, H, Skv, D).
+    kv_index: (H_tab, Sq//block_q, W) int32; kv_count: (H_tab, Sq//block_q).
+    H_tab is 1 (shared across heads) or H.  Tables may be traced arrays —
+    this is what the fused routed-inference path relies on.
+    kv_valid_len masks the kv tail beyond the logical sequence length.
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    if sq % block_q or skv % block_kv:
+        raise ValueError(f"seq lens ({sq},{skv}) not divisible by blocks ({block_q},{block_kv})")
+    nq = sq // block_q
+    width = kv_index.shape[2]
+    shared = kv_index.shape[0] == 1
+    if not shared and kv_index.shape[0] != h:
+        raise ValueError(f"tables head dim {kv_index.shape[0]} != heads {h}")
+    if kv_valid_len is None:
+        kv_valid_len = skv
+    if scale is None:
+        scale = d**-0.5
+
+    kernel = functools.partial(
+        _flash_kernel,
+        scale=float(scale),
+        width=width,
+        shared_head_tables=shared,
+        kv_valid_len=int(kv_valid_len),
+        block_kv=block_kv,
+        cast_p_to_v_dtype=cast_p_to_v_dtype,
+    )
+
+    def q_map(bb, hh, ii, jj, kv_index_ref, kv_count_ref):
+        return (bb, hh, ii, 0)
+
+    def kv_map(bb, hh, ii, jj, kv_index_ref, kv_count_ref):
+        th = 0 if shared else hh
+        return (bb, hh, kv_index_ref[th, ii, jj], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, nq, width),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), q_map),
+            pl.BlockSpec((1, 1, block_kv, d), kv_map),
+            pl.BlockSpec((1, 1, block_kv, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+
+    flops_per_block = 4 * block_q * block_kv * d
+    total_active = float(b * h * nq) * width  # upper bound
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(total_active * flops_per_block),
+            bytes_accessed=int(q.size * q.dtype.itemsize * 3),
+            transcendentals=int(b * h * sq * width),
+        ),
+        interpret=interpret,
+    )(kv_index, kv_count, q, k, v)
+
+
+@functools.lru_cache(maxsize=64)
+def make_sparse_attention(
+    tables: BlockTables,
+    *,
+    n_kv_blocks: int,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+    kv_valid_len: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Differentiable block-sparse attention with *static* tables.
+
+    Forward runs the Pallas kernel; backward currently recomputes through the
+    XLA chunked reference with the equivalent dense block mask (activations
+    must be differentiable for router training even though only router
+    params receive grads — reference: scripts/wan/train_one_step.py:121).
+    """
+    kv_index_c = jnp.asarray(tables.kv_index)
+    kv_count_c = jnp.asarray(tables.kv_count)
+    mask_np = tables.block_mask(n_kv_blocks)
+
+    def fwd_impl(q, k, v):
+        return sparse_flash_attention_raw(
+            q,
+            k,
+            v,
+            kv_index_c,
+            kv_count_c,
+            scale=scale,
+            block_q=block_q,
+            block_kv=block_kv,
+            kv_valid_len=kv_valid_len,
+            interpret=interpret,
+        )
+
+    def ref_impl(q, k, v):
+        h = q.shape[1]
+        bm = jnp.asarray(mask_np)
+        if bm.shape[0] == 1:
+            bm = jnp.broadcast_to(bm, (h,) + bm.shape[1:])
+        return attention_chunked(
+            q,
+            k,
+            v,
+            block_mask=bm,
+            scale=scale,
+            block_q=block_q,
+            block_kv=block_kv,
+            kv_valid_len=kv_valid_len,
+        )
+
+    @jax.custom_vjp
+    def attn(q, k, v):
+        return fwd_impl(q, k, v)
+
+    def attn_fwd(q, k, v):
+        return fwd_impl(q, k, v), (q, k, v)
+
+    def attn_bwd(res, g):
+        q, k, v = res
+        _, vjp = jax.vjp(ref_impl, q, k, v)
+        return vjp(g)
+
+    attn.defvjp(attn_fwd, attn_bwd)
+    return attn
