@@ -317,8 +317,11 @@ def make_sparse_attention(
     must be differentiable for router training even though only router
     params receive grads — reference: scripts/wan/train_one_step.py:121).
     """
-    kv_index_c = jnp.asarray(tables.kv_index)
-    kv_count_c = jnp.asarray(tables.kv_count)
+    # keep tables as numpy here: converting to device arrays at factory time
+    # would capture a tracer if the factory is first hit inside a jit trace,
+    # and the lru_cache would leak it into later traces
+    kv_index_np = tables.kv_index
+    kv_count_np = tables.kv_count
     mask_np = tables.block_mask(n_kv_blocks)
 
     def fwd_impl(q, k, v):
@@ -326,8 +329,8 @@ def make_sparse_attention(
             q,
             k,
             v,
-            kv_index_c,
-            kv_count_c,
+            jnp.asarray(kv_index_np),
+            jnp.asarray(kv_count_np),
             scale=scale,
             block_q=block_q,
             block_kv=block_kv,
