@@ -1,0 +1,111 @@
+"""Shared model building blocks (Flax NNX).
+
+Numerics follow the reference stack: LayerNorms run in float32 regardless of
+activation dtype (diffusers FP32LayerNorm semantics), RMSNorm for qk-norm is
+applied across the full projected dim before head split ("rms_norm_across_heads"),
+and the timestep embedding is the flip_sin_to_cos sinusoid used by diffusers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+
+class FP32LayerNorm(nnx.Module):
+    """LayerNorm computed in f32, output cast back to the input dtype."""
+
+    def __init__(self, dim: int, eps: float = 1e-6, affine: bool = False, *, rngs: nnx.Rngs):
+        self.eps = eps
+        self.affine = affine
+        if affine:
+            self.scale = nnx.Param(jnp.ones((dim,), jnp.float32))
+            self.bias = nnx.Param(jnp.zeros((dim,), jnp.float32))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            out = out * self.scale[None] + self.bias[None]
+        return out.astype(x.dtype)
+
+    def fp32(self, x: jax.Array) -> jax.Array:
+        """Same normalization but keep the f32 result (for AdaLN modulation)."""
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            out = out * self.scale[None] + self.bias[None]
+        return out
+
+
+class RMSNorm(nnx.Module):
+    """RMSNorm with learnable gain, computed in f32."""
+
+    def __init__(self, dim: int, eps: float = 1e-6, *, rngs: nnx.Rngs):
+        self.eps = eps
+        self.weight = nnx.Param(jnp.ones((dim,), jnp.float32))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        rms = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps)
+        return (xf * rms * self.weight[None]).astype(x.dtype)
+
+
+def sinusoidal_timestep_embedding(
+    t: jax.Array,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+) -> jax.Array:
+    """diffusers get_timestep_embedding semantics. t: (B,) float/int -> (B, dim)."""
+    half = dim // 2
+    exponent = -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nnx.Module):
+    """linear -> silu -> linear on the sinusoid (diffusers TimestepEmbedding)."""
+
+    def __init__(self, in_dim: int, dim: int, *, dtype=jnp.float32, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.linear_1 = nnx.Linear(in_dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.linear_2 = nnx.Linear(dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.linear_2(jax.nn.silu(self.linear_1(x)))
+
+
+class GELUFeedForward(nnx.Module):
+    """linear -> tanh-approx gelu -> linear (diffusers FeedForward 'gelu-approximate')."""
+
+    def __init__(self, dim: int, inner_dim: int, *, dtype=jnp.float32, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.proj_in = nnx.Linear(dim, inner_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.proj_out = nnx.Linear(inner_dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.proj_out(jax.nn.gelu(self.proj_in(x), approximate=True))
+
+
+class TextProjection(nnx.Module):
+    """linear -> tanh gelu -> linear (diffusers PixArtAlphaTextProjection)."""
+
+    def __init__(self, in_dim: int, dim: int, *, dtype=jnp.float32, param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.linear_1 = nnx.Linear(in_dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.linear_2 = nnx.Linear(dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.linear_2(jax.nn.gelu(self.linear_1(x), approximate=True))

@@ -1,0 +1,396 @@
+"""Wan 2.1 video Diffusion Transformer — native Flax NNX implementation.
+
+Architecture mirrors diffusers' WanTransformer3DModel (which the reference
+monkey-patches rather than owns — vorta/patch/modeling_wan.py) so torch
+checkpoints import 1:1, but the implementation is TPU-first:
+
+  * channels-last latents (B, T, H, W, C) feeding an NDHWC patchify conv
+  * blocks are stacked (nnx.vmap at init) and iterated with nnx.scan —
+    one block's HLO compiled once regardless of depth
+  * self-attention routes between the three sparse experts as a first-class
+    config (routing: off | soft | hard), not a processor monkey-patch
+  * the training teacher pass (frozen full-attention stream) runs inside the
+    same scan carry (reference: modeling_wan.py:107-150)
+
+RoPE tables and attention geometry are static functions of the latent grid,
+precomputed host-side at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..config import AttentionConfig, WanModelConfig
+from ..ops.experts import full_attention, padded_dense_attention, routed_attention
+from ..ops.rope import rope_cos_sin
+from .common import (
+    FP32LayerNorm,
+    GELUFeedForward,
+    RMSNorm,
+    TextProjection,
+    TimestepEmbedding,
+    sinusoidal_timestep_embedding,
+)
+from .router import Router
+
+
+@dataclasses.dataclass
+class WanOutput:
+    sample: jax.Array  # (B, T, H, W, C) latent-space prediction
+    reg_loss: Optional[jax.Array] = None
+    last_layer_distill_loss: Optional[jax.Array] = None
+    hidden_layer_distill_loss: Optional[jax.Array] = None
+    routing_scores: Optional[jax.Array] = None  # (L, B, H, E)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, s, _ = x.shape
+    return x.reshape(b, s, num_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class WanSelfAttention(nnx.Module):
+    """Routed self-attention (reference attn1 + TripleTrain/Eval processors)."""
+
+    def __init__(self, cfg: WanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_heads = cfg.num_heads
+        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.norm_q = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
+        self.norm_k = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
+
+    def __call__(
+        self,
+        x: jax.Array,
+        rope: Tuple[jax.Array, jax.Array],
+        attn_cfg: AttentionConfig,
+        scores: Optional[jax.Array],
+        routing_mode: str,
+        interpret: bool = False,
+    ) -> jax.Array:
+        from ..ops.rope import apply_rope
+
+        q = self.to_q(x)
+        k = self.to_k(x)
+        v = self.to_v(x)
+        if self.norm_q is not None:
+            q = self.norm_q(q)
+            k = self.norm_k(k)
+        q = _split_heads(q, self.num_heads)
+        k = _split_heads(k, self.num_heads)
+        v = _split_heads(v, self.num_heads)
+        cos, sin = rope
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if routing_mode == "off":
+            out = full_attention(q, k, v, attn_cfg, interpret=interpret)
+        else:
+            out = routed_attention(
+                q, k, v, scores, attn_cfg, mode=routing_mode, interpret=interpret
+            )
+        return self.to_out(_merge_heads(out))
+
+
+class WanCrossAttention(nnx.Module):
+    """Cross-attention to the projected text sequence (reference attn2).
+
+    The optional image branch (I2V: first 257 encoder tokens through
+    add_k/v_proj — reference wan.py:72-75,119-139) attends separately and is
+    summed into the output.
+    """
+
+    def __init__(self, cfg: WanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_heads = cfg.num_heads
+        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.norm_q = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
+        self.norm_k = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
+        if cfg.image_dim is not None:
+            self.add_k_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
+            self.add_v_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
+            self.norm_added_k = RMSNorm(dim, cfg.eps, rngs=rngs)
+        else:
+            self.add_k_proj = None
+
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        image_context: Optional[jax.Array] = None,
+        interpret: bool = False,
+    ) -> jax.Array:
+        q = self.to_q(x)
+        if self.norm_q is not None:
+            q = self.norm_q(q)
+        k = self.to_k(context)
+        if self.norm_k is not None:
+            k = self.norm_k(k)
+        v = self.to_v(context)
+        qh = _split_heads(q, self.num_heads)
+        out = padded_dense_attention(
+            qh,
+            _split_heads(k, self.num_heads),
+            _split_heads(v, self.num_heads),
+            interpret=interpret,
+        )
+        if image_context is not None and self.add_k_proj is not None:
+            ki = self.norm_added_k(self.add_k_proj(image_context))
+            vi = self.add_v_proj(image_context)
+            out_img = padded_dense_attention(
+                qh,
+                _split_heads(ki, self.num_heads),
+                _split_heads(vi, self.num_heads),
+                interpret=interpret,
+            )
+            out = out + out_img
+        return self.to_out(_merge_heads(out))
+
+
+class WanBlock(nnx.Module):
+    """AdaLN-modulated DiT block (reference wan_block_routed_forward)."""
+
+    def __init__(self, cfg: WanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        self.norm1 = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        self.attn1 = WanSelfAttention(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.attn2 = WanCrossAttention(cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.norm2 = (
+            FP32LayerNorm(dim, cfg.eps, affine=True, rngs=rngs)
+            if cfg.cross_attn_norm
+            else FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        )
+        self.norm3 = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        self.ffn = GELUFeedForward(dim, cfg.ffn_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.scale_shift_table = nnx.Param(
+            jax.random.normal(rngs.params(), (1, 6, dim), jnp.float32) / dim**0.5
+        )
+        self.router = Router(dim, cfg.num_heads, rngs=rngs)
+
+    def __call__(
+        self,
+        x: jax.Array,
+        context: jax.Array,
+        temb6: jax.Array,  # (B, 6, dim) f32
+        temb_raw: jax.Array,  # (B, dim) — router input, pre-projection
+        rope: Tuple[jax.Array, jax.Array],
+        attn_cfg: AttentionConfig,
+        routing_mode: str,
+        image_context: Optional[jax.Array] = None,
+        interpret: bool = False,
+    ):
+        mod = self.scale_shift_table[...] + temb6.astype(jnp.float32)
+        shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = [
+            mod[:, i][:, None, :] for i in range(6)
+        ]
+
+        scores = None
+        if routing_mode != "off":
+            scores = self.router(temb_raw)
+
+        norm_x = (self.norm1.fp32(x) * (1 + scale_msa) + shift_msa).astype(x.dtype)
+        attn_out = self.attn1(norm_x, rope, attn_cfg, scores, routing_mode, interpret)
+        x = (x.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa).astype(x.dtype)
+
+        norm_x = self.norm2(x)
+        x = x + self.attn2(norm_x, context, image_context, interpret)
+
+        norm_x = (self.norm3.fp32(x) * (1 + c_scale) + c_shift).astype(x.dtype)
+        ff_out = self.ffn(norm_x)
+        x = (x.astype(jnp.float32) + ff_out.astype(jnp.float32) * c_gate).astype(x.dtype)
+        return x, scores
+
+
+class WanConditionEmbedder(nnx.Module):
+    """Timestep + text (+ image) conditioning (diffusers WanTimeTextImageEmbedding)."""
+
+    def __init__(self, cfg: WanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        self.freq_dim = cfg.freq_dim
+        self.time_embedder = TimestepEmbedding(
+            cfg.freq_dim, cfg.dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+        self.time_proj = nnx.Linear(
+            cfg.dim, cfg.dim * 6, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+        self.text_embedder = TextProjection(
+            cfg.text_dim, cfg.dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+
+    def __call__(self, timestep: jax.Array, context: jax.Array):
+        sin_emb = sinusoidal_timestep_embedding(timestep, self.freq_dim)
+        temb = self.time_embedder(sin_emb)  # (B, dim)
+        temb6 = self.time_proj(jax.nn.silu(temb))
+        temb6 = temb6.reshape(temb.shape[0], 6, -1)
+        ctx = self.text_embedder(context)
+        return temb, temb6, ctx
+
+
+class WanModel(nnx.Module):
+    """WanTransformer3DModel, channels-last, scan-over-blocks."""
+
+    def __init__(
+        self,
+        cfg: WanModelConfig,
+        *,
+        dtype=jnp.float32,
+        param_dtype=jnp.float32,
+        rngs: nnx.Rngs,
+    ):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.patch_embedding = nnx.Conv(
+            cfg.in_channels,
+            cfg.dim,
+            kernel_size=cfg.patch_size,
+            strides=cfg.patch_size,
+            padding="VALID",
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+        self.condition_embedder = WanConditionEmbedder(
+            cfg, dtype=dtype, param_dtype=param_dtype, rngs=rngs
+        )
+
+        @nnx.split_rngs(splits=cfg.num_layers)
+        @nnx.vmap(in_axes=(0,), out_axes=0)
+        def create_block(block_rngs: nnx.Rngs):
+            return WanBlock(cfg, dtype=dtype, param_dtype=param_dtype, rngs=block_rngs)
+
+        self.blocks = create_block(rngs)
+        self.norm_out = FP32LayerNorm(cfg.dim, cfg.eps, affine=False, rngs=rngs)
+        self.proj_out = nnx.Linear(
+            cfg.dim,
+            cfg.out_channels * int(np.prod(cfg.patch_size)),
+            dtype=dtype,
+            param_dtype=param_dtype,
+            rngs=rngs,
+        )
+        self.scale_shift_table = nnx.Param(
+            jax.random.normal(rngs.params(), (1, 2, cfg.dim), jnp.float32) / cfg.dim**0.5
+        )
+
+    def _rope(self, grid: Tuple[int, int, int]):
+        cos, sin = rope_cos_sin(grid, self.cfg.head_dim, self.cfg.rope_theta)
+        return jnp.asarray(cos), jnp.asarray(sin)
+
+    def __call__(
+        self,
+        latents: jax.Array,  # (B, T, H, W, C_in) channels-last
+        timestep: jax.Array,  # (B,)
+        context: jax.Array,  # (B, L, text_dim)
+        attn_cfg: Optional[AttentionConfig] = None,
+        routing_mode: str = "off",
+        image_context: Optional[jax.Array] = None,
+        return_losses: bool = False,
+        return_scores: bool = False,
+        interpret: bool = False,
+    ) -> WanOutput:
+        cfg = self.cfg
+        b, t_px, h_px, w_px, _ = latents.shape
+        pt, ph, pw = cfg.patch_size
+        grid = (t_px // pt, h_px // ph, w_px // pw)
+        if attn_cfg is None:
+            attn_cfg = AttentionConfig(latent_shape=grid, sta_tile=grid)
+        elif attn_cfg.latent_shape != grid:
+            raise ValueError(
+                f"attention config latent_shape {attn_cfg.latent_shape} != token grid {grid}"
+            )
+
+        x = self.patch_embedding(latents.astype(self.dtype))
+        x = x.reshape(b, -1, cfg.dim)
+
+        temb, temb6, ctx = self.condition_embedder(timestep, context.astype(self.dtype))
+        rope = self._rope(grid)
+
+        if return_losses and routing_mode == "off":
+            raise ValueError("return_losses requires routed attention")
+
+        teacher = return_losses
+
+        # scan over stacked block params with manual split/merge: unlike
+        # nnx.scan this composes under any outer transform (plain jit,
+        # shard_map, grad) because the merged module lives entirely inside
+        # the scan-body trace
+        block_graphdef, block_state = nnx.split(self.blocks)
+
+        def run_block(carry, bstate):
+            block: WanBlock = nnx.merge(block_graphdef, bstate)
+            xs, xt, reg, hid = carry
+            xs, scores = block(
+                xs, ctx, temb6, temb, rope, attn_cfg, routing_mode,
+                image_context=image_context, interpret=interpret,
+            )
+            if teacher:
+                xt_new, _ = block(
+                    xt, ctx, temb6, temb, rope, attn_cfg, "off",
+                    image_context=image_context, interpret=interpret,
+                )
+                xt = jax.lax.stop_gradient(xt_new)
+                # L2 regularization on the full-attention routing weight
+                # (reference: modeling_wan.py:117,145)
+                reg = reg + jnp.mean(jnp.square(scores[:, :, 0]))
+                hid = hid + jnp.mean(
+                    jnp.square(xt.astype(jnp.float32) - xs.astype(jnp.float32))
+                )
+            if scores is None:
+                scores = jnp.zeros((b, cfg.num_heads, attn_cfg.num_experts), jnp.float32)
+            return (xs, xt, reg, hid), scores
+
+        zero = jnp.zeros((), jnp.float32)
+        (x, x_t, reg_loss, hidden_loss), all_scores = jax.lax.scan(
+            run_block, (x, x, zero, zero), block_state
+        )
+
+        # output head
+        def head(hx):
+            mod = self.scale_shift_table[...] + temb.astype(jnp.float32)[:, None, :]
+            shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
+            out = (self.norm_out.fp32(hx) * (1 + scale) + shift).astype(hx.dtype)
+            return self.proj_out(out)
+
+        out = head(x)
+        last_loss = None
+        if teacher:
+            out_t = jax.lax.stop_gradient(head(x_t))
+            last_loss = jnp.mean(
+                jnp.square(out_t.astype(jnp.float32) - out.astype(jnp.float32))
+            )
+
+        sample = self._unpatchify(out, b, grid)
+        # reg/hidden losses are sums over layers, matching the reference's
+        # accumulate_loss (vorta/utils/misc.py:91-92)
+        return WanOutput(
+            sample=sample,
+            reg_loss=reg_loss if teacher else None,
+            last_layer_distill_loss=last_loss,
+            hidden_layer_distill_loss=hidden_loss if teacher else None,
+            routing_scores=all_scores if return_scores else None,
+        )
+
+    def _unpatchify(self, out: jax.Array, b: int, grid: Tuple[int, int, int]) -> jax.Array:
+        cfg = self.cfg
+        t, h, w = grid
+        pt, ph, pw = cfg.patch_size
+        c = cfg.out_channels
+        out = out.reshape(b, t, h, w, pt, ph, pw, c)
+        out = out.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return out.reshape(b, t * pt, h * ph, w * pw, c)

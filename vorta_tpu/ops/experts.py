@@ -166,6 +166,33 @@ def sta_attention(
     return untile_sequence(out, shape, tile)
 
 
+def padded_dense_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    block_q: int = 512, block_kv: int = 512,
+    scale: Optional[float] = None, interpret: bool = False,
+) -> jax.Array:
+    """Dense attention for arbitrary (Sq, Skv), e.g. cross-attention to text.
+
+    Pads both sides to kernel blocks and masks the padded kv tail.
+    """
+    sq, skv = q.shape[2], k.shape[2]
+    block_q = min(block_q, max(8, 1 << (sq - 1).bit_length()))
+    block_kv = min(block_kv, max(8, 1 << (skv - 1).bit_length()))
+    nq, nkv = cdiv(sq, block_q), cdiv(skv, block_kv)
+    tab = dense_tables(nq, nkv)
+    attn = make_sparse_attention(
+        tab,
+        n_kv_blocks=nkv,
+        scale=scale,
+        block_q=block_q,
+        block_kv=block_kv,
+        kv_valid_len=skv if skv != nkv * block_kv else None,
+        interpret=interpret,
+    )
+    out = attn(_pad_seq(q, nq * block_q), _pad_seq(k, nkv * block_kv), _pad_seq(v, nkv * block_kv))
+    return out[:, :, :sq]
+
+
 def harden_scores(scores: jax.Array, tau: float) -> jax.Array:
     """(B, H, E) soft scores -> one-hot with low-confidence fallback to full.
 

@@ -1,0 +1,121 @@
+"""Wan text-to-video sampling pipeline (latent space).
+
+Functional replacement for the reference's monkey-patched
+``vorta_pipeline_call`` (vorta/patch/pipeline_wan.py:203-390): classifier-free
+guidance with two transformer evaluations per step, flow-match Euler
+integration, optional routed sparse attention.  The denoise loop runs as a
+``lax.scan`` under a single jit — the scheduler tables are trace-time
+constants, there is no host round-trip per step.
+
+Text encoding and VAE decode are separate stages (io/ and models/vae) so this
+module stays a pure latents -> latents function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from ..config import AttentionConfig
+from ..models.wan import WanModel
+from ..schedulers.flow_match import FlowMatchEulerSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    num_inference_steps: int = 50
+    guidance_scale: float = 5.0
+    flow_shift: float = 5.0
+    routing_mode: str = "off"  # off | hard
+    return_scores: bool = False
+
+
+class WanT2VPipeline:
+    def __init__(
+        self,
+        model: WanModel,
+        attn_cfg: Optional[AttentionConfig] = None,
+        interpret: bool = False,
+    ):
+        self.model = model
+        self.attn_cfg = attn_cfg
+        self.interpret = interpret
+        self._loop_cache = {}
+
+    def prepare_latents(self, key: jax.Array, batch: int, frames: int, height: int, width: int):
+        """Initial noise in latent space, channels-last (B, T, H/8, W/8, C)."""
+        cfg = self.model.cfg
+        t = (frames - 1) // 4 + 1
+        shape = (batch, t, height // 8, width // 8, cfg.in_channels)
+        return jax.random.normal(key, shape, jnp.float32)
+
+    def _build_loop(self, sampling: SamplingConfig):
+        schedule = FlowMatchEulerSchedule.create(
+            sampling.num_inference_steps, sampling.flow_shift
+        )
+        attn_cfg = self.attn_cfg
+        interpret = self.interpret
+        guidance_scale = float(sampling.guidance_scale)
+        do_cfg = sampling.guidance_scale > 1.0
+        routing_mode = sampling.routing_mode
+        return_scores = sampling.return_scores
+
+        @nnx.jit
+        def run(model: WanModel, latents, prompt_embeds, negative_prompt_embeds):
+            sigmas = jnp.asarray(schedule.sigmas)
+            timesteps = jnp.asarray(schedule.timesteps)
+
+            @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
+            def step(model: WanModel, x, i):
+                t = jnp.full((x.shape[0],), timesteps[i])
+                out = model(
+                    x.astype(model.dtype),
+                    t,
+                    prompt_embeds,
+                    attn_cfg=attn_cfg,
+                    routing_mode=routing_mode,
+                    return_scores=return_scores,
+                    interpret=interpret,
+                )
+                velocity = out.sample.astype(jnp.float32)
+                if do_cfg:
+                    out_u = model(
+                        x.astype(model.dtype),
+                        t,
+                        negative_prompt_embeds,
+                        attn_cfg=attn_cfg,
+                        routing_mode=routing_mode,
+                        interpret=interpret,
+                    )
+                    vu = out_u.sample.astype(jnp.float32)
+                    velocity = vu + guidance_scale * (velocity - vu)
+                dt = sigmas[i + 1] - sigmas[i]
+                x = x + dt * velocity
+                scores = out.routing_scores if return_scores else jnp.zeros((), jnp.float32)
+                return x, scores
+
+            return step(
+                model, latents.astype(jnp.float32), jnp.arange(schedule.num_steps)
+            )
+
+        return run
+
+    def __call__(
+        self,
+        latents: jax.Array,  # (B, T, H, W, C) initial noise
+        prompt_embeds: jax.Array,  # (B, L, text_dim)
+        negative_prompt_embeds: Optional[jax.Array] = None,
+        sampling: SamplingConfig = SamplingConfig(),
+    ):
+        """Returns (final_latents, per-step routing scores if requested)."""
+        if sampling not in self._loop_cache:
+            self._loop_cache[sampling] = self._build_loop(sampling)
+        if negative_prompt_embeds is None:
+            negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
+        return self._loop_cache[sampling](
+            self.model, latents, prompt_embeds, negative_prompt_embeds
+        )
