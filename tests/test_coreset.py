@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from vorta_tpu.geometry import build_lowres_groups
-from vorta_tpu.ops.coreset import Matching, pool_by_similarity, unpool_by_similarity
+from vorta_tpu.ops.coreset import pool_by_similarity, unpool_by_similarity
 
 
 def brute_force_pool(x: np.ndarray, groups):
@@ -23,7 +23,7 @@ def brute_force_pool(x: np.ndarray, groups):
     kept_idx = order[..., :u]
     kept = np.take_along_axis(margins, kept_idx[..., None], axis=-2)
     pooled = np.concatenate([centers, kept.reshape(b, h, g * u, d)], axis=2)
-    return pooled, kept_idx, order[..., u:]
+    return pooled, kept_idx
 
 
 @pytest.fixture
@@ -37,10 +37,9 @@ def setup():
 def test_pool_matches_oracle(setup):
     groups, x = setup
     pooled, matching = pool_by_similarity(jnp.asarray(x), groups)
-    ref_pooled, ref_kept, ref_dropped = brute_force_pool(x, groups)
+    ref_pooled, ref_kept = brute_force_pool(x, groups)
     np.testing.assert_allclose(np.asarray(pooled), ref_pooled, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(matching.kept), ref_kept)
-    np.testing.assert_array_equal(np.asarray(matching.dropped), ref_dropped)
 
 
 def test_pool_reuses_matching(setup):
@@ -59,40 +58,36 @@ def test_pool_reuses_matching(setup):
     expected = np.concatenate(
         [y[:, :, groups.center], kept.reshape(b, h, -1, d)], axis=2
     )
-    np.testing.assert_allclose(np.asarray(pooled_y), expected, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pooled_y), expected, rtol=1e-5, atol=1e-6)
 
 
-def test_unpool_roundtrip_kept_positions(setup):
+def test_unpool_roundtrip(setup):
     groups, x = setup
     xj = jnp.asarray(x)
     pooled, matching = pool_by_similarity(xj, groups)
     out = np.asarray(unpool_by_similarity(pooled, groups, matching))
 
-    # center positions and kept margins come back exactly
-    np.testing.assert_allclose(out[:, :, groups.center], x[:, :, groups.center])
+    # centers and kept margins come back exactly; dropped get center value
+    np.testing.assert_allclose(
+        out[:, :, groups.center], x[:, :, groups.center], rtol=1e-5
+    )
     b, h = x.shape[:2]
-    kept_pos = np.take_along_axis(
-        np.broadcast_to(groups.margins[None, None], (b, h) + groups.margins.shape),
-        np.asarray(matching.kept),
-        axis=-1,
-    )
-    for bi in range(b):
-        for hi in range(h):
-            pos = kept_pos[bi, hi].reshape(-1)
-            np.testing.assert_allclose(out[bi, hi, pos], x[bi, hi, pos], rtol=1e-6)
-
-    # dropped positions are filled with their group center's value
-    drop_pos = np.take_along_axis(
-        np.broadcast_to(groups.margins[None, None], (b, h) + groups.margins.shape),
-        np.asarray(matching.dropped),
-        axis=-1,
-    )
+    kept_np = np.asarray(matching.kept)
     for bi in range(b):
         for hi in range(h):
             for gi in range(groups.num_groups):
+                kept_slots = set(kept_np[bi, hi, gi].tolist())
                 center_val = x[bi, hi, groups.center[gi]]
-                for p in drop_pos[bi, hi, gi]:
-                    np.testing.assert_allclose(out[bi, hi, p], center_val, rtol=1e-6)
+                for slot in range(groups.margins.shape[1]):
+                    pos = groups.margins[gi, slot]
+                    if slot in kept_slots:
+                        np.testing.assert_allclose(
+                            out[bi, hi, pos], x[bi, hi, pos], rtol=1e-5, atol=1e-6
+                        )
+                    else:
+                        np.testing.assert_allclose(
+                            out[bi, hi, pos], center_val, rtol=1e-5, atol=1e-6
+                        )
 
 
 def test_unpool_identity_when_nothing_dropped():
@@ -105,7 +100,7 @@ def test_unpool_identity_when_nothing_dropped():
     pooled, matching = pool_by_similarity(x, groups)
     assert pooled.shape == x.shape  # same token count, reordered
     out = unpool_by_similarity(pooled, groups, matching)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5, atol=1e-6)
 
 
 def test_pool_is_jittable(setup):

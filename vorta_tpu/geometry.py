@@ -90,6 +90,13 @@ HUNYUAN_GEOMETRY = TokenGeometry(temporal_vae=4, spatial_vae=8)
 
 
 @dataclasses.dataclass(frozen=True)
+class _LowresGeometry:
+    latent_shape: Shape3
+    window: Shape3
+    center_slot: int
+
+
+@dataclasses.dataclass(frozen=True)
 class LowresGroups:
     """Partition of the 3D token grid into non-overlapping windows.
 
@@ -159,7 +166,17 @@ def build_lowres_groups(
         raise ValueError(
             f"reduction_rate {reduction_rate} with window {window} keeps {num_kept} margins"
         )
-    return LowresGroups(center=center, margins=margins, num_kept_margins=num_kept)
+    out = LowresGroups(center=center, margins=margins, num_kept_margins=num_kept)
+    # stash the generating geometry: the jnp coreset ops re-derive the group
+    # structure as a static window relayout instead of index gathers
+    object.__setattr__(
+        out,
+        "_geom",
+        _LowresGeometry(
+            latent_shape=(t, h, w), window=(wt, wh, ww), center_slot=int(center_slot)
+        ),
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,196 @@
+"""Import PyTorch/diffusers Wan weights into the native NNX model.
+
+The reference consumes diffusers' WanTransformer3DModel checkpoints directly;
+we map the same state_dict onto our stacked-block layout:
+
+  * torch Linear (out, in) -> flax kernel (in, out)
+  * torch Conv3d (out, in, kt, kh, kw) -> flax NDHWC kernel (kt, kh, kw, in, out)
+  * per-block keys ``blocks.{i}.*`` stack along axis 0 of our scanned params
+  * router checkpoints (the reference's router.pt, keys
+    ``blocks.{i}.router.linear.{weight,bias}``) import the same way
+
+Accepts a single .safetensors/.pt file, or a directory of diffusers
+``diffusion_pytorch_model*.safetensors`` shards.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+def load_state_dict(path) -> Dict[str, np.ndarray]:
+    path = Path(path)
+    files = []
+    if path.is_dir():
+        files = sorted(path.glob("*.safetensors")) or sorted(path.glob("*.bin"))
+        if not files:
+            raise FileNotFoundError(f"no weight files under {path}")
+    else:
+        files = [path]
+    out: Dict[str, np.ndarray] = {}
+    for f in files:
+        if f.suffix == ".safetensors":
+            from safetensors.numpy import load_file
+
+            out.update(load_file(str(f)))
+        else:
+            import torch
+
+            sd = torch.load(f, map_location="cpu", weights_only=True)
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            out.update({k: v.float().numpy() for k, v in sd.items()})
+    return out
+
+
+def _f32(x) -> np.ndarray:
+    # ml_dtypes (bundled with jax) teaches numpy bf16, so astype just works
+    return np.asarray(x).astype(np.float32)
+
+
+def _linear(sd, prefix):
+    return {
+        "kernel": _f32(sd[f"{prefix}.weight"]).T,
+        "bias": _f32(sd[f"{prefix}.bias"]),
+    }
+
+
+def _stack(blocks):
+    """list of dicts (same structure) -> dict of stacked arrays."""
+    out = {}
+    for k in blocks[0]:
+        if isinstance(blocks[0][k], dict):
+            out[k] = _stack([b[k] for b in blocks])
+        else:
+            out[k] = np.stack([b[k] for b in blocks])
+    return out
+
+
+def wan_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """diffusers WanTransformer3DModel state_dict -> pure dict matching our
+    WanModel parameter tree (missing router keys are simply absent)."""
+    tree: dict = {}
+
+    conv_w = _f32(sd["patch_embedding.weight"])  # (dim, in, kt, kh, kw)
+    tree["patch_embedding"] = {
+        "kernel": np.transpose(conv_w, (2, 3, 4, 1, 0)),
+        "bias": _f32(sd["patch_embedding.bias"]),
+    }
+    ce = "condition_embedder"
+    tree[ce] = {
+        "time_embedder": {
+            "linear_1": _linear(sd, f"{ce}.time_embedder.linear_1"),
+            "linear_2": _linear(sd, f"{ce}.time_embedder.linear_2"),
+        },
+        "time_proj": _linear(sd, f"{ce}.time_proj"),
+        "text_embedder": {
+            "linear_1": _linear(sd, f"{ce}.text_embedder.linear_1"),
+            "linear_2": _linear(sd, f"{ce}.text_embedder.linear_2"),
+        },
+    }
+
+    def attn(prefix, has_added_kv):
+        d = {
+            "to_q": _linear(sd, f"{prefix}.to_q"),
+            "to_k": _linear(sd, f"{prefix}.to_k"),
+            "to_v": _linear(sd, f"{prefix}.to_v"),
+            "to_out": _linear(sd, f"{prefix}.to_out.0"),
+        }
+        if f"{prefix}.norm_q.weight" in sd:
+            d["norm_q"] = {"weight": _f32(sd[f"{prefix}.norm_q.weight"])}
+            d["norm_k"] = {"weight": _f32(sd[f"{prefix}.norm_k.weight"])}
+        if has_added_kv and f"{prefix}.add_k_proj.weight" in sd:
+            d["add_k_proj"] = _linear(sd, f"{prefix}.add_k_proj")
+            d["add_v_proj"] = _linear(sd, f"{prefix}.add_v_proj")
+            d["norm_added_k"] = {"weight": _f32(sd[f"{prefix}.norm_added_k.weight"])}
+        return d
+
+    blocks = []
+    for i in range(num_layers):
+        p = f"blocks.{i}"
+        blk = {
+            "attn1": attn(f"{p}.attn1", has_added_kv=False),
+            "attn2": attn(f"{p}.attn2", has_added_kv=True),
+            "ffn": {
+                "proj_in": _linear(sd, f"{p}.ffn.net.0.proj"),
+                "proj_out": _linear(sd, f"{p}.ffn.net.2"),
+            },
+            "scale_shift_table": _f32(sd[f"{p}.scale_shift_table"]),
+        }
+        if f"{p}.norm2.weight" in sd:
+            blk["norm2"] = {
+                "scale": _f32(sd[f"{p}.norm2.weight"]),
+                "bias": _f32(sd[f"{p}.norm2.bias"]),
+            }
+        if f"{p}.router.linear.weight" in sd:
+            blk["router"] = {"linear": _linear(sd, f"{p}.router.linear")}
+        blocks.append(blk)
+    tree["blocks"] = _stack(blocks)
+
+    tree["proj_out"] = _linear(sd, "proj_out")
+    tree["scale_shift_table"] = _f32(sd["scale_shift_table"])
+    return tree
+
+
+def _apply_tree(state: nnx.State, tree: dict, path=""):
+    """Copy arrays from `tree` into matching State entries (dtype-cast)."""
+    applied, missing = [], []
+
+    def rec(st, tr, p):
+        for k, v in tr.items():
+            kk = k if k in st else None
+            if kk is None:
+                missing.append(f"{p}{k}")
+                continue
+            if isinstance(v, dict):
+                rec(st[kk], v, f"{p}{k}.")
+            else:
+                cur = st[kk]
+                arr = jnp.asarray(v)
+                target = cur[...] if hasattr(cur, "set_value") else cur
+                if target.shape != arr.shape:
+                    raise ValueError(
+                        f"shape mismatch at {p}{k}: model {target.shape} vs import {arr.shape}"
+                    )
+                if hasattr(cur, "set_value"):
+                    cur.set_value(arr.astype(target.dtype))
+                else:
+                    st[kk] = arr.astype(target.dtype)
+                applied.append(f"{p}{k}")
+
+    rec(state, tree, path)
+    return applied, missing
+
+
+def load_wan_torch_weights(model, path, strict_shapes: bool = True):
+    """Import diffusers Wan weights (and router keys if present) into model."""
+    cfg = model.cfg
+    sd = load_state_dict(path)
+    tree = wan_state_dict_to_tree(sd, cfg.num_layers)
+    graphdef, state = nnx.split(model)
+    applied, missing = _apply_tree(state, tree)
+    nnx.update(model, state)
+    return applied, missing
+
+
+def load_router_torch_checkpoint(model, path):
+    """Import only router params from a reference-style router.pt."""
+    sd = load_state_dict(path)
+    router_sd = {k: v for k, v in sd.items() if "router" in k}
+    if not router_sd:
+        raise ValueError(f"no router keys in {path}")
+    blocks = []
+    for i in range(model.cfg.num_layers):
+        blocks.append(
+            {"router": {"linear": _linear(router_sd, f"blocks.{i}.router.linear")}}
+        )
+    tree = {"blocks": _stack(blocks)}
+    graphdef, state = nnx.split(model)
+    applied, missing = _apply_tree(state, tree)
+    nnx.update(model, state)
+    return applied, missing

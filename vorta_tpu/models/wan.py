@@ -81,6 +81,7 @@ class WanSelfAttention(nnx.Module):
         scores: Optional[jax.Array],
         routing_mode: str,
         interpret: bool = False,
+        sp_axis: Optional[str] = None,
     ) -> jax.Array:
         from ..ops.rope import apply_rope
 
@@ -93,9 +94,23 @@ class WanSelfAttention(nnx.Module):
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
         v = _split_heads(v, self.num_heads)
-        cos, sin = rope
+        cos, sin = rope  # local slices when sequence-parallel
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
+
+        if sp_axis is not None:
+            # Ulysses reshard: full sequence, 1/P of the heads per rank
+            from ..parallel.ulysses import (
+                all_to_all_heads_to_seq,
+                all_to_all_seq_to_heads,
+                slice_local,
+            )
+
+            q = all_to_all_heads_to_seq(q, sp_axis)
+            k = all_to_all_heads_to_seq(k, sp_axis)
+            v = all_to_all_heads_to_seq(v, sp_axis)
+            if scores is not None:
+                scores = slice_local(scores, dim=1, axis=sp_axis)
 
         if routing_mode == "off":
             out = full_attention(q, k, v, attn_cfg, interpret=interpret)
@@ -103,6 +118,11 @@ class WanSelfAttention(nnx.Module):
             out = routed_attention(
                 q, k, v, scores, attn_cfg, mode=routing_mode, interpret=interpret
             )
+
+        if sp_axis is not None:
+            from ..parallel.ulysses import all_to_all_seq_to_heads
+
+            out = all_to_all_seq_to_heads(out, sp_axis)
         return self.to_out(_merge_heads(out))
 
 
@@ -196,6 +216,7 @@ class WanBlock(nnx.Module):
         routing_mode: str,
         image_context: Optional[jax.Array] = None,
         interpret: bool = False,
+        sp_axis: Optional[str] = None,
     ):
         mod = self.scale_shift_table[...] + temb6.astype(jnp.float32)
         shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = [
@@ -207,7 +228,9 @@ class WanBlock(nnx.Module):
             scores = self.router(temb_raw)
 
         norm_x = (self.norm1.fp32(x) * (1 + scale_msa) + shift_msa).astype(x.dtype)
-        attn_out = self.attn1(norm_x, rope, attn_cfg, scores, routing_mode, interpret)
+        attn_out = self.attn1(
+            norm_x, rope, attn_cfg, scores, routing_mode, interpret, sp_axis
+        )
         x = (x.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa).astype(x.dtype)
 
         norm_x = self.norm2(x)
@@ -303,16 +326,22 @@ class WanModel(nnx.Module):
         return_losses: bool = False,
         return_scores: bool = False,
         interpret: bool = False,
+        sp_axis: Optional[str] = None,
     ) -> WanOutput:
+        """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
+        axis), ``latents`` hold this rank's contiguous latent-frame chunk and
+        ``attn_cfg.latent_shape`` is the GLOBAL token grid; conditioning
+        inputs are replicated.  The output is the rank-local frame chunk."""
         cfg = self.cfg
         b, t_px, h_px, w_px, _ = latents.shape
         pt, ph, pw = cfg.patch_size
-        grid = (t_px // pt, h_px // ph, w_px // pw)
+        sp_size = 1 if sp_axis is None else jax.lax.axis_size(sp_axis)
+        grid = (sp_size * (t_px // pt), h_px // ph, w_px // pw)
         if attn_cfg is None:
             attn_cfg = AttentionConfig(latent_shape=grid, sta_tile=grid)
         elif attn_cfg.latent_shape != grid:
             raise ValueError(
-                f"attention config latent_shape {attn_cfg.latent_shape} != token grid {grid}"
+                f"attention config latent_shape {attn_cfg.latent_shape} != global token grid {grid}"
             )
 
         x = self.patch_embedding(latents.astype(self.dtype))
@@ -320,6 +349,12 @@ class WanModel(nnx.Module):
 
         temb, temb6, ctx = self.condition_embedder(timestep, context.astype(self.dtype))
         rope = self._rope(grid)
+        if sp_axis is not None:
+            # this rank's contiguous rows of the global RoPE tables
+            # (SP-aware RoPE, reference: modeling_wan.py:242-262)
+            from ..parallel.ulysses import slice_local
+
+            rope = tuple(slice_local(r, dim=0, axis=sp_axis) for r in rope)
 
         if return_losses and routing_mode == "off":
             raise ValueError("return_losses requires routed attention")
@@ -337,12 +372,12 @@ class WanModel(nnx.Module):
             xs, xt, reg, hid = carry
             xs, scores = block(
                 xs, ctx, temb6, temb, rope, attn_cfg, routing_mode,
-                image_context=image_context, interpret=interpret,
+                image_context=image_context, interpret=interpret, sp_axis=sp_axis,
             )
             if teacher:
                 xt_new, _ = block(
                     xt, ctx, temb6, temb, rope, attn_cfg, "off",
-                    image_context=image_context, interpret=interpret,
+                    image_context=image_context, interpret=interpret, sp_axis=sp_axis,
                 )
                 xt = jax.lax.stop_gradient(xt_new)
                 # L2 regularization on the full-attention routing weight
@@ -375,7 +410,8 @@ class WanModel(nnx.Module):
                 jnp.square(out_t.astype(jnp.float32) - out.astype(jnp.float32))
             )
 
-        sample = self._unpatchify(out, b, grid)
+        local_grid = (t_px // pt, h_px // ph, w_px // pw)
+        sample = self._unpatchify(out, b, local_grid)
         # reg/hidden losses are sums over layers, matching the reference's
         # accumulate_loss (vorta/utils/misc.py:91-92)
         return WanOutput(

@@ -6,11 +6,16 @@ non-overlapping 3D window ("group"), the center token plus the margin tokens
 the output is scattered back, with dropped positions receiving their group
 center's output (reference: vorta/attention/coreset_select.py:68-185).
 
-TPU notes: all shapes are static (the kept/dropped split sizes come from
-config, not data), so this lowers to einsum + argsort + gathers + one batched
-scatter — no dynamic shapes, no host sync.  The selection indices
-(``Matching``) are computed once from Q and reused for K and V so all three
-are pooled consistently (reference: wan.py:250-255).
+TPU formulation: XLA gathers/scatters are slow on TPU, so everything is
+expressed as relayout + MXU work instead:
+  * group extraction is a static window relayout (reshape/transpose — the
+    same machinery as tile layout), not an index gather;
+  * the kept-margin selection is ``lax.top_k`` of negative similarity plus a
+    one-hot matrix, and both the kept-gather and the unpool-scatter become
+    batched einsums against that one-hot (dropped slots get the center via
+    the one-hot's complement).
+All shapes are static; selection indices (``Matching``) are computed once
+from Q and reused for K/V (reference: wan.py:250-255).
 """
 
 from __future__ import annotations
@@ -24,18 +29,52 @@ from ..geometry import LowresGroups
 
 
 class Matching(NamedTuple):
-    """Per-(batch, head, group) margin ordering from the similarity sort.
+    """Per-(batch, head, group) kept-margin selection from the similarity sort.
 
-    ``kept``/``dropped`` index into the *margin slot* axis (0..M-1) of each
-    group, ascending by cosine similarity to the center: kept = least similar.
+    ``kept`` indexes the margin-slot axis (0..M-1), ascending by cosine
+    similarity to the center (least similar first); ``onehot`` is its
+    (B, H, G, U, M) one-hot expansion, shared by pool and unpool.
     """
 
     kept: jax.Array  # (B, H, G, U) int32
-    dropped: jax.Array  # (B, H, G, M - U) int32
+    onehot: jax.Array  # (B, H, G, U, M) f32
+
+
+def _group_layout(x: jax.Array, groups: LowresGroups, window_shape, latent_shape):
+    """(B, H, S, D) raster -> (B, H, G, group_size, D) via static relayout."""
+    from .layout import tile_sequence
+
+    b, h, s, d = x.shape
+    grouped = tile_sequence(x, latent_shape, window_shape)
+    return grouped.reshape(b, h, groups.num_groups, groups.group_size, d)
+
+
+def _ungroup_layout(x: jax.Array, groups: LowresGroups, window_shape, latent_shape):
+    from .layout import untile_sequence
+
+    b, h, g, gs, d = x.shape
+    return untile_sequence(x.reshape(b, h, g * gs, d), latent_shape, window_shape)
+
+
+def _geometry(groups: LowresGroups):
+    # recover (latent_shape, window, center_slot) from the group indices:
+    # groups.center/margins were built by build_lowres_groups so the window
+    # relayout reproduces them exactly; we stash shapes on the object
+    if not hasattr(groups, "_geom"):
+        raise ValueError("LowresGroups missing geometry; build via build_lowres_groups")
+    return groups._geom  # type: ignore[attr-defined]
+
+
+def _split_center(grouped: jax.Array, center_slot: int):
+    """(..., group_size, D) -> center (..., D), margins (..., M, D)."""
+    center = grouped[..., center_slot, :]
+    margins = jnp.concatenate(
+        [grouped[..., :center_slot, :], grouped[..., center_slot + 1 :, :]], axis=-2
+    )
+    return center, margins
 
 
 def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    # torch.nn.functional.normalize semantics: x / max(||x||, eps)
     norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
     return x / jnp.maximum(norm, eps)
 
@@ -55,13 +94,14 @@ def pool_by_similarity(
         raise ValueError(
             f"sequence length {x.shape[-2]} != groups.full_length {groups.full_length}"
         )
+    geom = _geometry(groups)
     b, h, _, d = x.shape
     g = groups.num_groups
     u = groups.num_kept_margins
+    m = groups.group_size - 1
 
-    centers = jnp.take(x, jnp.asarray(groups.center), axis=2)  # (B, H, G, D)
-    margins = jnp.take(x, jnp.asarray(groups.margins.reshape(-1)), axis=2)
-    margins = margins.reshape(b, h, g, -1, d)  # (B, H, G, M, D)
+    grouped = _group_layout(x, groups, geom.window, geom.latent_shape)
+    centers, margins = _split_center(grouped, geom.center_slot)
 
     if matching is None:
         sim = jnp.einsum(
@@ -69,11 +109,15 @@ def pool_by_similarity(
             _l2_normalize(centers.astype(jnp.float32)),
             _l2_normalize(margins.astype(jnp.float32)),
         )
-        order = jnp.argsort(sim, axis=-1)  # ascending: least similar first
-        matching = Matching(kept=order[..., :u], dropped=order[..., u:])
+        # least similar first == largest negative similarity first
+        _, kept = jax.lax.top_k(-sim, u)
+        onehot = jax.nn.one_hot(kept, m, dtype=jnp.float32)  # (B,H,G,U,M)
+        matching = Matching(kept=kept, onehot=onehot)
 
-    kept = jnp.take_along_axis(margins, matching.kept[..., None], axis=-2)
-    pooled = jnp.concatenate([centers, kept.reshape(b, h, g * u, d)], axis=2)
+    kept_vals = jnp.einsum(
+        "bhgum,bhgmd->bhgud", matching.onehot, margins.astype(jnp.float32)
+    ).astype(x.dtype)
+    pooled = jnp.concatenate([centers, kept_vals.reshape(b, h, g * u, d)], axis=2)
     return pooled, matching
 
 
@@ -87,39 +131,26 @@ def unpool_by_similarity(
     Kept positions receive their own pooled value; dropped positions receive
     their group center's value.
     """
+    geom = _geometry(groups)
     b, h, p, d = pooled.shape
     g = groups.num_groups
     u = groups.num_kept_margins
+    m = groups.group_size - 1
     if p != groups.pooled_length:
         raise ValueError(f"pooled length {p} != expected {groups.pooled_length}")
 
-    centers = pooled[:, :, :g]  # (B, H, G, D)
-    kept_vals = pooled[:, :, g:].reshape(b, h, g, u, d)
+    centers = pooled[:, :, :g].astype(jnp.float32)  # (B, H, G, D)
+    kept_vals = pooled[:, :, g:].reshape(b, h, g, u, d).astype(jnp.float32)
 
-    margins = jnp.asarray(groups.margins)[None, None]  # (1, 1, G, M)
-    kept_pos = jnp.take_along_axis(
-        jnp.broadcast_to(margins, (b, h, g, margins.shape[-1])), matching.kept, axis=-1
-    )  # (B, H, G, U)
-    drop_pos = jnp.take_along_axis(
-        jnp.broadcast_to(margins, (b, h, g, margins.shape[-1])), matching.dropped, axis=-1
-    )  # (B, H, G, M-U)
+    # margins_out[m] = sum_u onehot[u, m] * kept[u]  (+ center where no kept)
+    margins_out = jnp.einsum("bhgum,bhgud->bhgmd", matching.onehot, kept_vals)
+    kept_mask = jnp.sum(matching.onehot, axis=-2)[..., None]  # (B,H,G,M,1)
+    margins_out = margins_out + (1.0 - kept_mask) * centers[:, :, :, None, :]
 
-    n_drop = drop_pos.shape[-1]
-    drop_vals = jnp.broadcast_to(centers[:, :, :, None, :], (b, h, g, n_drop, d))
-
-    center_pos = jnp.broadcast_to(
-        jnp.asarray(groups.center)[None, None, :], (b, h, g)
+    cs = geom.center_slot
+    grouped = jnp.concatenate(
+        [margins_out[:, :, :, :cs], centers[:, :, :, None], margins_out[:, :, :, cs:]],
+        axis=-2,
     )
-
-    # Positions partition [0, S): one combined scatter.
-    all_pos = jnp.concatenate(
-        [center_pos, kept_pos.reshape(b, h, -1), drop_pos.reshape(b, h, -1)], axis=-1
-    )  # (B, H, S)
-    all_vals = jnp.concatenate(
-        [centers, kept_vals.reshape(b, h, -1, d), drop_vals.reshape(b, h, -1, d)], axis=2
-    )  # (B, H, S, D)
-
-    out = jnp.zeros((b, h, groups.full_length, d), dtype=pooled.dtype)
-    bi = jnp.arange(b)[:, None, None]
-    hi = jnp.arange(h)[None, :, None]
-    return out.at[bi, hi, all_pos].set(all_vals, mode="drop", unique_indices=True)
+    out = _ungroup_layout(grouped, groups, geom.window, geom.latent_shape)
+    return out.astype(pooled.dtype)

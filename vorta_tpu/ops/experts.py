@@ -220,10 +220,19 @@ def routed_attention(
     """Run the three experts and combine by routing scores.
 
     mode="soft": training-time weighted mixture (reference: wan.py:296-300).
-    mode="hard": inference-time top-1 with tau_sparse fallback; scores are
-    hardened to one-hot first.
+    mode="hard": inference-time top-1 with tau_sparse fallback, dispatched
+    per head through the fused single-kernel path.
+    mode="hard_ref": same routing decision evaluated by running every expert
+    and selecting (reference-style; used as the fused path's oracle).
     """
     if mode == "hard":
+        from .routed_fused import fused_routed_attention, route_expert_ids
+
+        expert_id = jax.lax.stop_gradient(route_expert_ids(scores, cfg.tau_sparse))
+        return fused_routed_attention(
+            q, k, v, expert_id, cfg, scale=scale, interpret=interpret
+        )
+    if mode == "hard_ref":
         scores = jax.lax.stop_gradient(harden_scores(scores, cfg.tau_sparse))
     elif mode != "soft":
         raise ValueError(f"unknown routing mode {mode!r}")

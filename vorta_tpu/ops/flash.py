@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,27 +126,24 @@ def tables_from_block_mask(block_mask: np.ndarray, pad_to: Optional[int] = None)
 
 
 def _flash_kernel(
-    # scalar prefetch
-    kv_index_ref,
-    kv_count_ref,
-    # inputs
-    q_ref,
-    k_ref,
-    v_ref,
-    # outputs
-    out_ref,
-    # scratch
-    m_scratch,
-    l_scratch,
-    acc_scratch,
-    *,
+    *refs,
     scale: float,
     width: int,
     shared_head_tables: bool,
     kv_valid_len: int,
+    per_head_valid: bool,
+    subtile: Optional[Tuple[int, int, int]],  # (tokens_per_tile, M, K)
     block_kv: int,
     cast_p_to_v_dtype: bool,
 ):
+    # unpack: scalar-prefetch refs (order matches the call), then in/out/scratch
+    it = iter(refs)
+    kv_index_ref = next(it)
+    kv_count_ref = next(it)
+    kv_valid_ref = next(it) if per_head_valid else None
+    pair_bits_ref = next(it) if subtile is not None else None
+    q_ref, k_ref, v_ref, out_ref, m_scratch, l_scratch, acc_scratch = it
+
     h = pl.program_id(1)
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -174,8 +171,29 @@ def _flash_kernel(
         s = s * (scale * 1.4426950408889634)  # (block_q, block_kv)
 
         kv_block = kv_index_ref[th, i, j]
-        # mask padded kv tail (only the final logical block can be partial)
-        if kv_valid_len % block_kv != 0:
+
+        if subtile is not None:
+            # sub-tile visibility refinement: blocks span several attention
+            # tiles; bit (m*K + kk) of pair_bits says whether q sub-tile m of
+            # this q block sees kv sub-tile kk of this kv block
+            tpt, m_sub, k_sub = subtile
+            bits = pair_bits_ref[th, i, j]
+            row_tile = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // tpt
+            col_tile = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // tpt
+            bit_idx = row_tile * k_sub + col_tile
+            visible = jax.lax.shift_right_logical(
+                jnp.broadcast_to(bits, s.shape).astype(jnp.uint32),
+                bit_idx.astype(jnp.uint32),
+            ) & jnp.uint32(1)
+            s = jnp.where(visible == 1, s, NEG_INF)
+
+        # mask padded kv tail beyond the logical sequence length
+        if per_head_valid:
+            valid = kv_valid_ref[h]
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            limit = jnp.clip(valid - kv_block * block_kv, 0, block_kv)
+            s = jnp.where(col < limit, s, NEG_INF)
+        elif kv_valid_len % block_kv != 0:
             last_block = kv_valid_len // block_kv
             valid_in_block = kv_valid_len % block_kv
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -223,6 +241,9 @@ def sparse_flash_attention_raw(
     block_q: int = 256,
     block_kv: int = 256,
     kv_valid_len: Optional[int] = None,
+    kv_valid: Optional[jax.Array] = None,
+    pair_bits: Optional[jax.Array] = None,
+    tokens_per_tile: Optional[int] = None,
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
@@ -232,7 +253,11 @@ def sparse_flash_attention_raw(
     kv_index: (H_tab, Sq//block_q, W) int32; kv_count: (H_tab, Sq//block_q).
     H_tab is 1 (shared across heads) or H.  Tables may be traced arrays —
     this is what the fused routed-inference path relies on.
-    kv_valid_len masks the kv tail beyond the logical sequence length.
+    kv_valid_len (static) masks the kv tail beyond the logical length;
+    kv_valid (traced, (H,) int32) does the same per head — the fused routed
+    path uses it because pooled (low-res) heads have a shorter logical kv.
+    pair_bits ((H_tab, nq, W) int32) + tokens_per_tile enable sub-tile
+    visibility refinement when kernel blocks span multiple attention tiles.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -247,6 +272,15 @@ def sparse_flash_attention_raw(
         kv_valid_len = skv
     if scale is None:
         scale = d**-0.5
+    subtile = None
+    if pair_bits is not None:
+        if tokens_per_tile is None:
+            raise ValueError("pair_bits requires tokens_per_tile")
+        m_sub, k_sub = block_q // tokens_per_tile, block_kv // tokens_per_tile
+        if m_sub * k_sub > 32:
+            raise ValueError(f"subtile pairs {m_sub}x{k_sub} exceed 32 bits")
+        subtile = (tokens_per_tile, m_sub, k_sub)
+    per_head_valid = kv_valid is not None
 
     kernel = functools.partial(
         _flash_kernel,
@@ -254,19 +288,27 @@ def sparse_flash_attention_raw(
         width=width,
         shared_head_tables=shared,
         kv_valid_len=int(kv_valid_len),
+        per_head_valid=per_head_valid,
+        subtile=subtile,
         block_kv=block_kv,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
     )
 
-    def q_map(bb, hh, ii, jj, kv_index_ref, kv_count_ref):
+    prefetch = [kv_index, kv_count]
+    if per_head_valid:
+        prefetch.append(kv_valid.astype(jnp.int32))
+    if subtile is not None:
+        prefetch.append(pair_bits)
+
+    def q_map(bb, hh, ii, jj, *refs):
         return (bb, hh, ii, 0)
 
-    def kv_map(bb, hh, ii, jj, kv_index_ref, kv_count_ref):
+    def kv_map(bb, hh, ii, jj, *refs):
         th = 0 if shared else hh
-        return (bb, hh, kv_index_ref[th, ii, jj], 0)
+        return (bb, hh, refs[0][th, ii, jj], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=len(prefetch),
         grid=(b, h, nq, width),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), q_map),
@@ -296,7 +338,7 @@ def sparse_flash_attention_raw(
             transcendentals=int(b * h * sq * width),
         ),
         interpret=interpret,
-    )(kv_index, kv_count, q, k, v)
+    )(*prefetch, q, k, v)
 
 
 @functools.lru_cache(maxsize=64)

@@ -1,0 +1,260 @@
+"""Per-head routed sparse attention (inference hot path).
+
+The reference gathers a data-dependent number of heads per expert and runs
+each expert kernel on its subset (vorta/attention/wan.py:388-438) — dynamic
+shapes, head gather/scatter.  Here routing is a *participation mask*: each
+expert runs as one kernel call over ALL heads in its natural layout, but a
+head's per-row kv-block count is zeroed unless the router assigned it — and
+the manual-DMA kernel (ops/flash_manual.py) makes zero-count rows cost
+~nothing (one grid cell, no DMA, no MXU).  Outputs sum: every head gets
+exactly its expert's output, the other two contribute zeros.
+
+Why not one kernel call with per-head layouts?  Measured on v5e: the common
+block size the three layouts force (a multiple of tokens-per-tile small
+enough for the 32 sub-tile visibility bits) starves the MXU/DMA pipeline;
+three calls at each expert's best geometry + free masked rows is strictly
+faster.  Routing stays traced data — same compiled program every step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AttentionConfig
+from ..geometry import cdiv, sta_tile_mask
+from .coreset import pool_by_similarity, unpool_by_similarity
+from .experts import FULL, LOWRES, STA, lowres_groups_for
+from .flash_manual import sparse_flash_attention_manual
+from .layout import tile_sequence, untile_sequence
+
+
+class ExpertCall(NamedTuple):
+    kv_index: np.ndarray  # (1, nq, W) int32
+    kv_count: np.ndarray  # (1, nq) int32
+    pair_bits: Optional[np.ndarray]  # (1, nq, W) int32 or None
+    block_q: int
+    block_kv: int
+    q_pad: int  # padded q length
+    kv_pad: int  # padded kv length
+    valid_len: int  # logical kv length
+
+
+class RoutedGeometry(NamedTuple):
+    full: ExpertCall
+    lowres: ExpertCall
+    sta: ExpertCall
+    tokens_per_tile: int
+
+
+def _dense_call(valid_len: int, block_q: int, block_kv: int, q_len: int) -> ExpertCall:
+    """Dense visitation over the first ``valid_len`` kv tokens; q rows wholly
+    past ``valid_len`` idle (pooled-padding rows)."""
+    q_pad = block_q * cdiv(q_len, block_q)
+    kv_pad = block_kv * cdiv(valid_len, block_kv)
+    nq = q_pad // block_q
+    nkv = kv_pad // block_kv
+    idx = np.broadcast_to(np.arange(nkv, dtype=np.int32), (1, nq, nkv)).copy()
+    cnt = np.full((1, nq), nkv, np.int32)
+    for qi in range(nq):
+        if qi * block_q >= valid_len:
+            cnt[0, qi] = 0
+    return ExpertCall(idx, cnt, None, block_q, block_kv, q_pad, kv_pad, valid_len)
+
+
+def _sta_blocks(cfg: AttentionConfig):
+    """Largest kernel blocks whose sub-tile pairs fit the 32-bit mask."""
+    tpt = cfg.tokens_per_tile
+    if tpt % 8:
+        raise ValueError(f"tokens_per_tile {tpt} must be a multiple of 8")
+    best = (tpt, tpt)
+    for m in range(1, 33):
+        if m * tpt > 2048:
+            break
+        k = min(32 // m, 2048 // tpt)
+        if k < 1:
+            continue
+        if m * tpt * k * tpt > best[0] * best[1]:
+            best = (m * tpt, k * tpt)
+    return best
+
+
+def _sta_call(cfg: AttentionConfig) -> ExpertCall:
+    s = cfg.seq_len
+    bq, bkv = _sta_blocks(cfg)
+    tpt = cfg.tokens_per_tile
+    m_sub, k_sub = bq // tpt, bkv // tpt
+    q_pad = bq * cdiv(s, bq)
+    kv_pad = bkv * cdiv(s, bkv)
+    nq, nkv = q_pad // bq, kv_pad // bkv
+    tile_mask = sta_tile_mask(cfg.latent_shape, cfg.sta_window, cfg.sta_tile)
+    n_tiles = tile_mask.shape[0]
+
+    idx = np.zeros((1, nq, 1), np.int32)
+    rows_idx, rows_bits = [], []
+    width = 1
+    cnt = np.zeros((1, nq), np.int32)
+    tmp = []
+    for qi in range(nq):
+        active = []
+        if qi * m_sub < n_tiles:
+            for kj in range(nkv):
+                b = 0
+                for mi in range(m_sub):
+                    qt = qi * m_sub + mi
+                    if qt >= n_tiles:
+                        continue
+                    for ki in range(k_sub):
+                        kt = kj * k_sub + ki
+                        if kt >= n_tiles:
+                            continue
+                        if tile_mask[qt, kt]:
+                            b |= 1 << (mi * k_sub + ki)
+                if b:
+                    active.append((kj, b))
+        tmp.append(active)
+        width = max(width, len(active))
+    idx = np.zeros((1, nq, width), np.int32)
+    bits = np.zeros((1, nq, width), np.int32)
+    for qi, active in enumerate(tmp):
+        for j, (kj, b) in enumerate(active):
+            idx[0, qi, j] = kj
+            bits[0, qi, j] = np.int32(np.uint32(b).view(np.int32))
+        if active:
+            idx[0, qi, len(active):] = active[-1][0]
+        cnt[0, qi] = len(active)
+    return ExpertCall(idx, cnt, bits, bq, bkv, q_pad, kv_pad, s)
+
+
+@functools.lru_cache(maxsize=16)
+def routed_geometry(cfg: AttentionConfig) -> RoutedGeometry:
+    s = cfg.seq_len
+    pooled = lowres_groups_for(cfg).pooled_length
+    bq, bkv = cfg.block_q, cfg.block_kv
+    return RoutedGeometry(
+        full=_dense_call(s, bq, bkv, s),
+        lowres=_dense_call(pooled, bq, bkv, pooled),
+        sta=_sta_call(cfg),
+        tokens_per_tile=cfg.tokens_per_tile,
+    )
+
+
+def route_expert_ids(scores: jax.Array, tau: float) -> jax.Array:
+    """(B, H, E) soft scores -> (H,) int32 expert ids (top-1, tau fallback).
+
+    Uses the first batch row so CFG pairs route identically (reference:
+    wan.py:398)."""
+    s0 = scores[0]
+    top = jnp.max(s0, axis=-1)
+    idx = jnp.argmax(s0, axis=-1).astype(jnp.int32)
+    return jnp.where(top < tau, FULL, idx)
+
+
+def _pad_to(x: jax.Array, target: int) -> jax.Array:
+    if x.shape[2] == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[2] = (0, target - x.shape[2])
+    return jnp.pad(x, pad)
+
+
+def _masked_call(
+    call: ExpertCall,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    active: jax.Array,  # (H,) bool — heads owned by this expert
+    tokens_per_tile: int,
+    scale,
+    interpret,
+) -> jax.Array:
+    h = q.shape[1]
+    # index/bits tables stay head-shared (SMEM is only ~1MB); just the
+    # per-head counts carry the routing mask
+    cnt = jnp.where(
+        active[:, None],
+        jnp.broadcast_to(jnp.asarray(call.kv_count), (h,) + call.kv_count.shape[1:]),
+        0,
+    )
+    out = sparse_flash_attention_manual(
+        _pad_to(q, call.q_pad),
+        _pad_to(k, call.kv_pad),
+        _pad_to(v, call.kv_pad),
+        jnp.asarray(call.kv_index),
+        cnt,
+        scale=scale,
+        block_q=call.block_q,
+        block_kv=call.block_kv,
+        kv_valid_len=call.valid_len,
+        pair_bits=jnp.asarray(call.pair_bits) if call.pair_bits is not None else None,
+        tokens_per_tile=tokens_per_tile if call.pair_bits is not None else None,
+        interpret=interpret,
+    )
+    return out
+
+
+def fused_routed_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    expert_id: jax.Array,  # (H,) int32
+    cfg: AttentionConfig,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Hard-routed attention: three masked expert calls, outputs summed.
+
+    Each expert (including its layout prep) sits under a ``lax.cond`` on
+    "any head assigned", so blocks/timesteps that route nothing to an expert
+    skip it entirely at runtime without recompiling.
+    """
+    geo = routed_geometry(cfg)
+    groups = lowres_groups_for(cfg)
+    s = cfg.seq_len
+
+    def guarded(active, branch):
+        return jax.lax.cond(
+            jnp.any(active),
+            branch,
+            lambda: jnp.zeros(q.shape, q.dtype),
+        )
+
+    def full_branch():
+        active = expert_id == FULL
+        return _masked_call(
+            geo.full, q, k, v, active, geo.tokens_per_tile, scale, interpret
+        )[:, :, :s]
+
+    def lowres_branch():
+        active = expert_id == LOWRES
+        pq, matching = pool_by_similarity(q, groups)
+        pk, _ = pool_by_similarity(k, groups, matching)
+        pv, _ = pool_by_similarity(v, groups, matching)
+        out_p = _masked_call(
+            geo.lowres, pq, pk, pv, active, geo.tokens_per_tile, scale, interpret
+        )[:, :, : groups.pooled_length]
+        return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
+
+    def sta_branch():
+        active = expert_id == STA
+        shape, tile = cfg.latent_shape, cfg.sta_tile
+        out_t = _masked_call(
+            geo.sta,
+            tile_sequence(q, shape, tile),
+            tile_sequence(k, shape, tile),
+            tile_sequence(v, shape, tile),
+            active,
+            geo.tokens_per_tile,
+            scale,
+            interpret,
+        )[:, :, :s]
+        return untile_sequence(out_t, shape, tile)
+
+    out = guarded(expert_id == FULL, full_branch)
+    out = out + guarded(expert_id == LOWRES, lowres_branch)
+    out = out + guarded(expert_id == STA, sta_branch)
+    return out
