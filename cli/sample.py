@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Text-to-video sampling CLI (reference: scripts/{wan}/inference.py).
+
+Runs the jitted denoise loop with full or routed-sparse attention, reading
+the attention geometry persisted by the trainer (config.json contract), and
+optionally decodes through the Wan VAE.
+
+Prompt conditioning: pass --prompt_embeds (a .pt/.npy of UMT5 states) or
+--random_embeds for smoke runs.  On-the-fly text encoding needs UMT5 weights
+(--umt5_checkpoint) plus a tokenizer, which this zero-egress environment
+cannot fetch; the embedding path matches the reference's precomputed-latents
+training regime.
+
+Example smoke run:
+  python cli/sample.py --model wan-tiny --random_embeds --num_frames 13 \
+      --height 64 --width 64 --num_inference_steps 4 --output /tmp/out.npy
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="wan-1_3B", choices=["wan-1_3B", "wan-14B", "wan-tiny"])
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--torch_checkpoint", default=None, help="DiT weights (diffusers safetensors/pt)")
+    p.add_argument("--resume_dir", default=None,
+                   help="training exp dir: reads config.json attention geometry")
+    p.add_argument("--router_checkpoint", default=None,
+                   help="orbax step dir or torch router.pt")
+    p.add_argument("--native_attention", action="store_true",
+                   help="full 3D attention baseline (speedup denominator)")
+    p.add_argument("--tau_sparse", type=float, default=0.3)
+    # generation
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--prompt_embeds", default=None, help=".npy/.pt UMT5 states (L, 4096)")
+    p.add_argument("--negative_prompt_embeds", default=None)
+    p.add_argument("--random_embeds", action="store_true")
+    p.add_argument("--num_frames", type=int, default=77)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=832)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=5.0)
+    p.add_argument("--flow_shift", type=float, default=5.0)
+    p.add_argument("--scheduler", default="unipc", choices=["unipc", "euler"])
+    p.add_argument("--seed", type=int, default=1234)
+    # output
+    p.add_argument("--output", default="results/sample.npy",
+                   help=".npy latents, or .mp4/.gif with --decode")
+    p.add_argument("--decode", action="store_true", help="decode via Wan VAE")
+    p.add_argument("--vae_checkpoint", default=None)
+    return p.parse_args(argv)
+
+
+def load_embeds(path, cfg):
+    path = Path(path)
+    if path.suffix == ".npy":
+        arr = np.load(path)
+    else:
+        import torch
+
+        arr = torch.load(path, map_location="cpu", weights_only=True).float().numpy()
+    if arr.ndim == 2:
+        arr = arr[None]
+    if arr.shape[1] < cfg.text_len:
+        arr = np.pad(arr, ((0, 0), (0, cfg.text_len - arr.shape[1]), (0, 0)))
+    return arr[:, : cfg.text_len]
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from vorta_tpu.config import WAN_1_3B, WAN_14B, WAN_TINY, AttentionConfig
+    from vorta_tpu.geometry import WAN_GEOMETRY
+    from vorta_tpu.models.wan import WanModel
+    from vorta_tpu.pipelines.wan_t2v import SamplingConfig, WanT2VPipeline
+
+    interpret = jax.default_backend() not in ("tpu",)
+    model_cfg = {"wan-1_3B": WAN_1_3B, "wan-14B": WAN_14B, "wan-tiny": WAN_TINY}[args.model]
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    grid = WAN_GEOMETRY.tokens((args.num_frames, args.height, args.width))
+    if args.resume_dir and (Path(args.resume_dir) / "config.json").exists():
+        attn_cfg = AttentionConfig.load(Path(args.resume_dir) / "config.json")
+        if attn_cfg.latent_shape != grid:
+            raise ValueError(
+                f"config.json geometry {attn_cfg.latent_shape} != requested video grid {grid}"
+            )
+        attn_cfg = AttentionConfig(**{**attn_cfg.__dict__, "tau_sparse": args.tau_sparse})
+    else:
+        tile = (2, 2, 2) if args.model == "wan-tiny" else (4, 6, 4)
+        blocks = dict(block_q=16, block_kv=16, sta_block_q=8, sta_block_kv=8) \
+            if args.model == "wan-tiny" else {}
+        attn_cfg = AttentionConfig(
+            latent_shape=grid, sta_tile=tile,
+            sta_window=(3, 3, 1) if args.model == "wan-tiny" else (3, 3, 3),
+            lowres_window=(2, 2, 2) if args.model == "wan-tiny" else (2, 3, 2),
+            tau_sparse=args.tau_sparse, **blocks,
+        )
+
+    print(f"[sample] model={args.model} grid={grid} routing="
+          f"{'off' if args.native_attention else 'hard'} backend={jax.default_backend()}")
+    model = WanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
+    if args.torch_checkpoint:
+        from vorta_tpu.io.torch_import import load_wan_torch_weights
+
+        applied, missing = load_wan_torch_weights(model, args.torch_checkpoint)
+        print(f"[sample] imported {len(applied)} tensors ({len(missing)} missing)")
+    if args.router_checkpoint:
+        rp = Path(args.router_checkpoint)
+        if rp.suffix in (".pt", ".bin", ".safetensors"):
+            from vorta_tpu.io.torch_import import load_router_torch_checkpoint
+
+            load_router_torch_checkpoint(model, rp)
+        else:
+            from vorta_tpu.io.checkpoint import load_router_checkpoint
+            from vorta_tpu.training.step import router_partition
+
+            graphdef, router_state, frozen = router_partition(model)
+            router_state, _ = load_router_checkpoint(rp, router_state)
+            nnx.update(model, router_state)
+        print(f"[sample] router loaded from {args.router_checkpoint}")
+
+    if args.prompt_embeds:
+        pe = jnp.asarray(load_embeds(args.prompt_embeds, model_cfg))
+    elif args.random_embeds:
+        pe = jax.random.normal(
+            jax.random.PRNGKey(args.seed + 1),
+            (1, model_cfg.text_len, model_cfg.text_dim),
+        )
+    else:
+        raise SystemExit("need --prompt_embeds or --random_embeds (no tokenizer weights in env)")
+    ne = (jnp.asarray(load_embeds(args.negative_prompt_embeds, model_cfg))
+          if args.negative_prompt_embeds else jnp.zeros_like(pe))
+
+    pipe = WanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
+    latents = pipe.prepare_latents(
+        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
+    )
+    sampling = SamplingConfig(
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        flow_shift=args.flow_shift,
+        scheduler=args.scheduler,
+        routing_mode="off" if args.native_attention else "hard",
+    )
+    t0 = time.time()
+    final, _ = pipe(latents, pe, ne, sampling=sampling)
+    final.block_until_ready()
+    print(f"[sample] denoised in {time.time() - t0:.1f}s "
+          f"({(time.time() - t0) / args.num_inference_steps:.2f}s/step)")
+
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    if args.decode:
+        from vorta_tpu.models.wan_vae import WAN_VAE, WanVAE
+        from vorta_tpu.io.video import save_video
+
+        vae = WanVAE(WAN_VAE, dtype=dtype, rngs=nnx.Rngs(0))
+        if args.vae_checkpoint:
+            print("[sample] NOTE: VAE torch import pending checkpoint availability")
+        video = vae.decode(final)
+        save_video(np.asarray(video[0], dtype=np.float32), out)
+    else:
+        np.save(out.with_suffix(".npy"), np.asarray(final))
+    print(f"[sample] wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

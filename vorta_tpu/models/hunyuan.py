@@ -1,0 +1,491 @@
+"""HunyuanVideo MMDiT — native Flax NNX implementation.
+
+Mirrors diffusers' HunyuanVideoTransformer3DModel (which the reference
+monkey-patches: vorta/patch/modeling_hunyuan.py): 20 dual-stream blocks
+(separate video/text streams, joint attention) followed by 40 single-stream
+blocks (concatenated sequence, parallel attention+MLP), llama text states
+refined by a timestep-conditioned token refiner, CLIP pooled + guidance
+embeddings added to the timestep conditioning, per-head RMS qk-norm, and
+(16, 56, 56) axis-split RoPE at theta=256 on the video tokens only.
+
+TPU-first specifics: channels-last latents, stacked blocks scanned with
+manual split/merge (compiles one block body per stream type), routed sparse
+attention over the joint sequence via ops/joint_experts (per-prompt text
+padding rides an additive kv-bias), teacher distillation streams in the scan
+carries.
+
+NOTE on fidelity: built to the diffusers architecture as documented/observed;
+the token-refiner internals (mlp activation, gate layout) follow diffusers
+semantics from the reference's call signatures (modeling_hunyuan.py:621-645)
+and should be re-verified against real checkpoints when importable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..config import AttentionConfig
+from ..ops.attention_ref import attention_dense
+from ..ops.joint_experts import JointConfig, routed_joint_attention
+from ..ops.rope import apply_rope
+from .common import FP32LayerNorm, GELUFeedForward, TimestepEmbedding, sinusoidal_timestep_embedding
+from .router import Router
+
+Shape3 = Tuple[int, int, int]
+
+
+@dataclasses.dataclass(frozen=True)
+class HunyuanModelConfig:
+    dim: int = 3072
+    num_heads: int = 24
+    head_dim: int = 128
+    dual_layers: int = 20
+    single_layers: int = 40
+    mlp_ratio: float = 4.0
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_size: Shape3 = (1, 2, 2)
+    text_dim: int = 4096
+    text_len: int = 256
+    pooled_dim: int = 768
+    rope_axes: Shape3 = (16, 56, 56)
+    rope_theta: float = 256.0
+    guidance_embeds: bool = True
+    refiner_layers: int = 2
+    freq_dim: int = 256
+    eps: float = 1e-6
+
+    def __post_init__(self):
+        if self.dim != self.num_heads * self.head_dim:
+            raise ValueError("dim != num_heads * head_dim")
+        if sum(self.rope_axes) != self.head_dim:
+            raise ValueError("rope axes must sum to head_dim")
+
+
+HUNYUAN_13B = HunyuanModelConfig()
+HUNYUAN_TINY = HunyuanModelConfig(
+    dim=128, num_heads=2, head_dim=64, dual_layers=2, single_layers=2,
+    text_dim=48, text_len=24, pooled_dim=32, rope_axes=(16, 24, 24),
+    freq_dim=32, refiner_layers=1,
+)
+
+
+@dataclasses.dataclass
+class HunyuanOutput:
+    sample: jax.Array
+    reg_loss: Optional[jax.Array] = None
+    last_layer_distill_loss: Optional[jax.Array] = None
+    hidden_layer_distill_loss: Optional[jax.Array] = None
+    routing_scores: Optional[jax.Array] = None  # (L_total, B, H, E)
+
+
+def hunyuan_rope_tables(grid: Shape3, cfg: HunyuanModelConfig):
+    """Axis-split angles: rope_axes give REAL dims per axis (complex = /2)."""
+    t, h, w = grid
+    counts = [d // 2 for d in cfg.rope_axes]
+    parts = []
+    for n, c, ax in zip(grid, counts, range(3)):
+        k = np.arange(c, dtype=np.float64)
+        inv = cfg.rope_theta ** (-k / c)
+        ang = np.outer(np.arange(n, dtype=np.float64), inv)
+        shape = [1, 1, 1, c]
+        shape[ax] = n
+        parts.append(np.broadcast_to(ang.reshape(shape), (t, h, w, c)))
+    angles = np.concatenate(parts, axis=-1).reshape(t * h * w, sum(counts))
+    return jnp.asarray(np.cos(angles), jnp.float32), jnp.asarray(np.sin(angles), jnp.float32)
+
+
+class PerHeadRMSNorm(nnx.Module):
+    """RMSNorm over head_dim, applied to (B, H, S, D) (qk_norm='rms_norm')."""
+
+    def __init__(self, head_dim: int, eps: float, *, rngs: nnx.Rngs):
+        self.eps = eps
+        self.weight = nnx.Param(jnp.ones((head_dim,), jnp.float32))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        xf = x.astype(jnp.float32)
+        rms = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps)
+        return (xf * rms * self.weight[None, None, None, :]).astype(x.dtype)
+
+
+class AdaLNModulation(nnx.Module):
+    """SiLU -> Linear(dim, n*dim); diffusers AdaLayerNormZero(.Single) core."""
+
+    def __init__(self, dim: int, n: int, *, dtype, param_dtype, rngs: nnx.Rngs):
+        self.n = n
+        self.linear = nnx.Linear(dim, n * dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+
+    def __call__(self, temb: jax.Array):
+        out = self.linear(jax.nn.silu(temb)).astype(jnp.float32)
+        return jnp.split(out, self.n, axis=-1)
+
+
+def _split_heads(x, h):
+    b, s, _ = x.shape
+    return x.reshape(b, s, h, -1).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+class HunyuanJointAttention(nnx.Module):
+    """Dual-stream joint attention (separate text projections)."""
+
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_heads = cfg.num_heads
+        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.add_q_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.add_k_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.add_v_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.norm_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
+        self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
+        self.norm_added_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
+        self.norm_added_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
+        self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_add_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+
+    def __call__(self, x, ctx, rope, text_mask, jcfg, scores, routing_mode, interpret):
+        h = self.num_heads
+        qv = self.norm_q(_split_heads(self.to_q(x), h))
+        kv_ = self.norm_k(_split_heads(self.to_k(x), h))
+        vv = _split_heads(self.to_v(x), h)
+        qt = self.norm_added_q(_split_heads(self.add_q_proj(ctx), h))
+        kt = self.norm_added_k(_split_heads(self.add_k_proj(ctx), h))
+        vt = _split_heads(self.add_v_proj(ctx), h)
+        cos, sin = rope
+        qv = apply_rope(qv, cos, sin)
+        kv_ = apply_rope(kv_, cos, sin)
+
+        video, text = routed_joint_attention(
+            qv, kv_, vv, qt, kt, vt, scores, text_mask, jcfg,
+            mode=routing_mode, interpret=interpret,
+        )
+        return self.to_out(_merge_heads(video)), self.to_add_out(_merge_heads(text))
+
+
+class HunyuanSingleAttention(nnx.Module):
+    """Single-stream attention: shared projections over [video|text]."""
+
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_heads = cfg.num_heads
+        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.norm_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
+        self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
+
+    def __call__(self, x_joint, video_len, rope, text_mask, jcfg, scores, routing_mode, interpret):
+        h = self.num_heads
+        q = self.norm_q(_split_heads(self.to_q(x_joint), h))
+        k = self.norm_k(_split_heads(self.to_k(x_joint), h))
+        v = _split_heads(self.to_v(x_joint), h)
+        qv, qt = q[:, :, :video_len], q[:, :, video_len:]
+        kv_, kt = k[:, :, :video_len], k[:, :, video_len:]
+        vv, vt = v[:, :, :video_len], v[:, :, video_len:]
+        cos, sin = rope
+        qv = apply_rope(qv, cos, sin)
+        kv_ = apply_rope(kv_, cos, sin)
+        video, text = routed_joint_attention(
+            qv, kv_, vv, qt, kt, vt, scores, text_mask, jcfg,
+            mode=routing_mode, interpret=interpret,
+        )
+        return _merge_heads(jnp.concatenate([video, text], axis=2))
+
+
+class HunyuanDualBlock(nnx.Module):
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.norm1_mod = AdaLNModulation(dim, 6, **kw)
+        self.norm1 = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        self.norm1_context_mod = AdaLNModulation(dim, 6, **kw)
+        self.norm1_context = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        self.attn = HunyuanJointAttention(cfg, **kw)
+        self.norm2 = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        self.norm2_context = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        self.ff = GELUFeedForward(dim, int(dim * cfg.mlp_ratio), **kw)
+        self.ff_context = GELUFeedForward(dim, int(dim * cfg.mlp_ratio), **kw)
+        self.router = Router(dim, cfg.num_heads, rngs=rngs)
+
+    def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
+                 routing_mode, interpret):
+        sh, sc, gate, sh_mlp, sc_mlp, gate_mlp = self.norm1_mod(temb)
+        csh, csc, cgate, csh_mlp, csc_mlp, cgate_mlp = self.norm1_context_mod(temb)
+
+        scores = None
+        if routing_mode not in ("off", "off_ref"):
+            scores = self.router(clean_temb)
+
+        norm_x = (self.norm1.fp32(x) * (1 + sc[:, None]) + sh[:, None]).astype(x.dtype)
+        norm_c = (self.norm1_context.fp32(ctx) * (1 + csc[:, None]) + csh[:, None]).astype(ctx.dtype)
+        attn_x, attn_c = self.attn(
+            norm_x, norm_c, rope, text_mask, jcfg, scores, routing_mode, interpret
+        )
+        x = (x.astype(jnp.float32) + attn_x.astype(jnp.float32) * gate[:, None]).astype(x.dtype)
+        ctx = (ctx.astype(jnp.float32) + attn_c.astype(jnp.float32) * cgate[:, None]).astype(ctx.dtype)
+
+        norm_x = (self.norm2.fp32(x) * (1 + sc_mlp[:, None]) + sh_mlp[:, None]).astype(x.dtype)
+        norm_c = (self.norm2_context.fp32(ctx) * (1 + csc_mlp[:, None]) + csh_mlp[:, None]).astype(ctx.dtype)
+        x = (x.astype(jnp.float32) + self.ff(norm_x).astype(jnp.float32) * gate_mlp[:, None]).astype(x.dtype)
+        ctx = (ctx.astype(jnp.float32) + self.ff_context(norm_c).astype(jnp.float32) * cgate_mlp[:, None]).astype(ctx.dtype)
+        return x, ctx, scores
+
+
+class HunyuanSingleBlock(nnx.Module):
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        mlp = int(dim * cfg.mlp_ratio)
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.norm_mod = AdaLNModulation(dim, 3, **kw)
+        self.norm = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
+        self.attn = HunyuanSingleAttention(cfg, **kw)
+        self.proj_mlp = nnx.Linear(dim, mlp, **kw)
+        self.proj_out = nnx.Linear(dim + mlp, dim, **kw)
+        self.router = Router(dim, cfg.num_heads, rngs=rngs)
+
+    def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
+                 routing_mode, interpret):
+        text_len = ctx.shape[1]
+        joint = jnp.concatenate([x, ctx], axis=1)
+        residual = joint
+        sh, sc, gate = self.norm_mod(temb)
+        norm_j = (self.norm.fp32(joint) * (1 + sc[:, None]) + sh[:, None]).astype(joint.dtype)
+        mlp = jax.nn.gelu(self.proj_mlp(norm_j), approximate=True)
+
+        scores = None
+        if routing_mode not in ("off", "off_ref"):
+            scores = self.router(clean_temb)
+        attn_out = self.attn(
+            norm_j, x.shape[1], rope, text_mask, jcfg, scores, routing_mode, interpret
+        )
+        joint_out = self.proj_out(jnp.concatenate([attn_out, mlp], axis=2))
+        joint = (residual.astype(jnp.float32) + joint_out.astype(jnp.float32) * gate[:, None]).astype(joint.dtype)
+        return joint[:, :-text_len], joint[:, -text_len:], scores
+
+
+class TokenRefinerBlock(nnx.Module):
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        dim = cfg.dim
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.num_heads = cfg.num_heads
+        self.norm1 = FP32LayerNorm(dim, cfg.eps, affine=True, rngs=rngs)
+        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.norm2 = FP32LayerNorm(dim, cfg.eps, affine=True, rngs=rngs)
+        self.ff = GELUFeedForward(dim, int(dim * cfg.mlp_ratio), **kw)
+        self.gates = AdaLNModulation(dim, 2, **kw)
+
+    def __call__(self, x, c, mask):
+        gate_attn, gate_mlp = self.gates(c)
+        norm_x = self.norm1(x)
+        q = _split_heads(self.to_q(norm_x), self.num_heads)
+        k = _split_heads(self.to_k(norm_x), self.num_heads)
+        v = _split_heads(self.to_v(norm_x), self.num_heads)
+        attn = attention_dense(q, k, v, mask=mask[:, None, None, :])
+        x = (x.astype(jnp.float32) + self.to_out(_merge_heads(attn)).astype(jnp.float32) * gate_attn[:, None]).astype(x.dtype)
+        x = (x.astype(jnp.float32) + self.ff(self.norm2(x)).astype(jnp.float32) * gate_mlp[:, None]).astype(x.dtype)
+        return x
+
+
+class TokenRefiner(nnx.Module):
+    """Timestep-conditioned refinement of llama text states
+    (diffusers HunyuanVideoTokenRefiner)."""
+
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.freq_dim = cfg.freq_dim
+        self.proj_in = nnx.Linear(cfg.text_dim, cfg.dim, **kw)
+        self.time_embedder = TimestepEmbedding(cfg.freq_dim, cfg.dim, **kw)
+        self.text_pool_embedder = nnx.Linear(cfg.text_dim, cfg.dim, **kw)
+        self.text_pool_out = nnx.Linear(cfg.dim, cfg.dim, **kw)
+        self.blocks = nnx.List(
+            [TokenRefinerBlock(cfg, **kw) for _ in range(cfg.refiner_layers)]
+        )
+
+    def __call__(self, text_states, timestep, mask):
+        t_emb = self.time_embedder(
+            sinusoidal_timestep_embedding(timestep, self.freq_dim)
+        )
+        m = mask.astype(jnp.float32)[:, :, None]
+        pooled = jnp.sum(text_states.astype(jnp.float32) * m, axis=1) / jnp.maximum(
+            jnp.sum(m, axis=1), 1.0
+        )
+        pooled_emb = self.text_pool_out(
+            jax.nn.silu(self.text_pool_embedder(pooled.astype(text_states.dtype)))
+        )
+        c = t_emb + pooled_emb
+        x = self.proj_in(text_states)
+        for block in self.blocks:
+            x = block(x, c, mask)
+        return x
+
+
+class HunyuanCombinedEmbed(nnx.Module):
+    """timestep + guidance + pooled-CLIP conditioning; also returns the bare
+    timestep embedding for the routers (reference clean_timesteps_emb,
+    modeling_hunyuan.py:621-645)."""
+
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype, param_dtype, rngs: nnx.Rngs):
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.freq_dim = cfg.freq_dim
+        self.timestep_embedder = TimestepEmbedding(cfg.freq_dim, cfg.dim, **kw)
+        self.guidance_embedder = (
+            TimestepEmbedding(cfg.freq_dim, cfg.dim, **kw) if cfg.guidance_embeds else None
+        )
+        self.text_embedder_1 = nnx.Linear(cfg.pooled_dim, cfg.dim, **kw)
+        self.text_embedder_2 = nnx.Linear(cfg.dim, cfg.dim, **kw)
+
+    def __call__(self, timestep, pooled_text, guidance=None):
+        t_emb = self.timestep_embedder(sinusoidal_timestep_embedding(timestep, self.freq_dim))
+        pooled = self.text_embedder_2(jax.nn.silu(self.text_embedder_1(pooled_text)))
+        temb = t_emb + pooled
+        if self.guidance_embedder is not None and guidance is not None:
+            temb = temb + self.guidance_embedder(
+                sinusoidal_timestep_embedding(guidance, self.freq_dim)
+            )
+        return temb, t_emb
+
+
+class HunyuanModel(nnx.Module):
+    def __init__(self, cfg: HunyuanModelConfig, *, dtype=jnp.float32,
+                 param_dtype=jnp.float32, rngs: nnx.Rngs):
+        self.cfg = cfg
+        self.dtype = dtype
+        kw = dict(dtype=dtype, param_dtype=param_dtype)
+        self.x_embedder = nnx.Conv(
+            cfg.in_channels, cfg.dim, kernel_size=cfg.patch_size,
+            strides=cfg.patch_size, padding="VALID", rngs=rngs, **kw,
+        )
+        self.context_embedder = TokenRefiner(cfg, rngs=rngs, **kw)
+        self.time_text_embed = HunyuanCombinedEmbed(cfg, rngs=rngs, **kw)
+
+        @nnx.split_rngs(splits=cfg.dual_layers)
+        @nnx.vmap(in_axes=(0,), out_axes=0)
+        def mk_dual(r):
+            return HunyuanDualBlock(cfg, rngs=r, **kw)
+
+        @nnx.split_rngs(splits=cfg.single_layers)
+        @nnx.vmap(in_axes=(0,), out_axes=0)
+        def mk_single(r):
+            return HunyuanSingleBlock(cfg, rngs=r, **kw)
+
+        self.dual_blocks = mk_dual(rngs)
+        self.single_blocks = mk_single(rngs)
+        self.norm_out = FP32LayerNorm(cfg.dim, cfg.eps, affine=False, rngs=rngs)
+        self.norm_out_mod = AdaLNModulation(cfg.dim, 2, rngs=rngs, **kw)
+        self.proj_out = nnx.Linear(
+            cfg.dim, cfg.out_channels * int(np.prod(cfg.patch_size)), rngs=rngs, **kw
+        )
+
+    def __call__(
+        self,
+        latents: jax.Array,  # (B, T, H, W, C) channels-last
+        timestep: jax.Array,  # (B,)
+        text_states: jax.Array,  # (B, L, text_dim) llama hidden states
+        text_mask: jax.Array,  # (B, L) bool
+        pooled_text: jax.Array,  # (B, pooled_dim) CLIP pooled
+        guidance: Optional[jax.Array] = None,  # (B,) guidance * 1000
+        attn_cfg: Optional[AttentionConfig] = None,
+        routing_mode: str = "off",
+        return_losses: bool = False,
+        return_scores: bool = False,
+        interpret: bool = False,
+    ) -> HunyuanOutput:
+        cfg = self.cfg
+        b, t_px, h_px, w_px, _ = latents.shape
+        pt, ph, pw = cfg.patch_size
+        grid = (t_px // pt, h_px // ph, w_px // pw)
+        if attn_cfg is None:
+            attn_cfg = AttentionConfig(latent_shape=grid, sta_tile=grid)
+        jcfg = JointConfig(video=attn_cfg, text_len=cfg.text_len)
+
+        x = self.x_embedder(latents.astype(self.dtype)).reshape(b, -1, cfg.dim)
+        temb, clean_temb = self.time_text_embed(timestep, pooled_text.astype(self.dtype), guidance)
+        ctx = self.context_embedder(text_states.astype(self.dtype), timestep, text_mask)
+        rope = hunyuan_rope_tables(grid, cfg)
+
+        teacher = return_losses
+        if teacher and routing_mode == "off":
+            raise ValueError("return_losses requires routed attention")
+
+        def run_stack(blocks_module, x, ctx, xt, ct, reg, hid):
+            graphdef, state = nnx.split(blocks_module)
+
+            def body(carry, bstate):
+                x, ctx, xt, ct, reg, hid = carry
+                block = nnx.merge(graphdef, bstate)
+                x, ctx, scores = block(
+                    x, ctx, temb, clean_temb, rope, text_mask, jcfg,
+                    routing_mode, interpret,
+                )
+                if teacher:
+                    # the frozen teacher runs under grad tracing, so it must
+                    # use the differentiable full-attention path
+                    xt_n, ct_n, _ = block(
+                        xt, ct, temb, clean_temb, rope, text_mask, jcfg,
+                        "off_ref", interpret,
+                    )
+                    xt = jax.lax.stop_gradient(xt_n)
+                    ct = jax.lax.stop_gradient(ct_n)
+                    reg = reg + jnp.mean(jnp.square(scores[:, :, 0]))
+                    hid = hid + jnp.mean(
+                        jnp.square(xt.astype(jnp.float32) - x.astype(jnp.float32))
+                    )
+                if scores is None:
+                    scores = jnp.zeros((b, cfg.num_heads, 3), jnp.float32)
+                return (x, ctx, xt, ct, reg, hid), scores
+
+            (x, ctx, xt, ct, reg, hid), scores = jax.lax.scan(
+                body, (x, ctx, xt, ct, reg, hid), state
+            )
+            return x, ctx, xt, ct, reg, hid, scores
+
+        zero = jnp.zeros((), jnp.float32)
+        x_t, c_t = x, ctx
+        x, ctx, x_t, c_t, reg, hid, s1 = run_stack(
+            self.dual_blocks, x, ctx, x_t, c_t, zero, zero
+        )
+        x, ctx, x_t, c_t, reg, hid, s2 = run_stack(
+            self.single_blocks, x, ctx, x_t, c_t, reg, hid
+        )
+
+        def head(hx):
+            sc, sh = self.norm_out_mod(temb)  # AdaLayerNormContinuous: scale first
+            out = (self.norm_out.fp32(hx) * (1 + sc[:, None]) + sh[:, None]).astype(hx.dtype)
+            return self.proj_out(out)
+
+        out = head(x)
+        last_loss = None
+        if teacher:
+            out_t = jax.lax.stop_gradient(head(x_t))
+            last_loss = jnp.mean(jnp.square(out_t.astype(jnp.float32) - out.astype(jnp.float32)))
+
+        t, h, w = grid
+        sample = out.reshape(b, t, h, w, pt, ph, pw, cfg.out_channels)
+        sample = sample.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            b, t * pt, h * ph, w * pw, cfg.out_channels
+        )
+        scores = jnp.concatenate([s1, s2], axis=0) if return_scores else None
+        return HunyuanOutput(
+            sample=sample,
+            reg_loss=reg if teacher else None,
+            last_layer_distill_loss=last_loss,
+            hidden_layer_distill_loss=hid if teacher else None,
+            routing_scores=scores,
+        )

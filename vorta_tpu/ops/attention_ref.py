@@ -63,12 +63,14 @@ def attention_chunked(
     block_q: int = 256,
     block_kv: int = 256,
     kv_valid_len: Optional[int] = None,
+    kv_bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Online-softmax attention scanning kv chunks; O(S * block) memory.
 
     q: (B, H, Sq, D), k/v: (B, H, Skv, D); Sq % block_q == Skv % block_kv == 0.
     block_mask: optional (H, Sq // block_q, Skv // block_kv) bool.
     kv_valid_len: mask kv positions >= this logical length.
+    kv_bias: optional (B, Skv) additive logits bias (traced padding masks).
     Fully-masked q rows produce zeros.
     """
     b, h, sq, d = q.shape
@@ -92,11 +94,18 @@ def attention_chunked(
     if kv_valid_len is None:
         kv_valid_len = skv
     col_valid = (jnp.arange(skv) < kv_valid_len).reshape(nkv, block_kv)
+    if kv_bias is None:
+        bias = jnp.zeros((nkv, 1, block_kv), jnp.float32)
+    else:
+        bias = jnp.moveaxis(
+            kv_bias.astype(jnp.float32).reshape(-1, nkv, block_kv), 1, 0
+        )  # (nkv, B, block_kv)
 
     def body(carry, chunk):
         m_prev, l_prev, acc_prev = carry
-        kj, vj, mj, cj = chunk
+        kj, vj, mj, cj, bj = chunk
         s = jnp.einsum("bhnqd,bhkd->bhnqk", qf, kj)  # (B,H,nq,block_q,block_kv)
+        s = s + bj[:, None, None, None, :]
         s = jnp.where(mj[None, :, :, None, None], s, NEG_INF)
         s = jnp.where(cj[None, None, None, None, :], s, NEG_INF)
         m_cur = jnp.max(s, axis=-1)
@@ -117,7 +126,7 @@ def attention_chunked(
     acc0 = jnp.zeros((b, h, nq, block_q, d), dtype=jnp.float32)
 
     (m_f, l_f, acc_f), _ = jax.lax.scan(
-        jax.checkpoint(body), (m0, l0, acc0), (kf, vf, bm, col_valid)
+        jax.checkpoint(body), (m0, l0, acc0), (kf, vf, bm, col_valid, bias)
     )
     out = acc_f / jnp.where(l_f == 0.0, 1.0, l_f)[..., None]
     return out.reshape(b, h, sq, d).astype(q.dtype)

@@ -34,6 +34,7 @@ def _kernel(
     shared_head_tables: bool,
     shared_counts: bool,
     per_head_valid: bool,
+    has_bias: bool,
     kv_valid_len: int,
     subtile: Optional[Tuple[int, int, int]],
     block_q: int,
@@ -45,10 +46,11 @@ def _kernel(
     kv_count_ref = next(it)
     kv_valid_ref = next(it) if per_head_valid else None
     pair_bits_ref = next(it) if subtile is not None else None
+    q_ref = next(it)
+    k_hbm = next(it)
+    v_hbm = next(it)
+    bias_ref = next(it) if has_bias else None  # (1, Skv) f32 in VMEM
     (
-        q_ref,
-        k_hbm,
-        v_hbm,
         out_ref,
         m_s,
         l_s,
@@ -91,6 +93,17 @@ def _kernel(
 
     q = q_ref[0, 0]  # (block_q, D)
 
+    # loop-invariant precomputes (integer division is slow on the VPU)
+    bit_idx = None
+    if subtile is not None:
+        tpt_, _, k_sub_ = subtile
+        row_tile = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0) // tpt_
+        col_tile = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1) // tpt_
+        bit_idx = (row_tile * k_sub_ + col_tile).astype(jnp.uint32)
+    col_iota = None
+    if per_head_valid or kv_valid_len % block_kv != 0:
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+
     def body(j, _):
         slot = jax.lax.rem(j, 2)
 
@@ -114,29 +127,27 @@ def _kernel(
         s = s * (scale * LOG2E)
 
         kv_block = kv_index_ref[th, i, j]
+        if has_bias:
+            # additive logits bias per kv token (already in log2 scale is not
+            # needed: -1e30 masks regardless of base)
+            bias = bias_ref[0, pl.ds(kv_block * block_kv, block_kv)]
+            s = s + bias[None, :]
         if subtile is not None:
-            tpt, _, k_sub = subtile
             bits = pair_bits_ref[th, i, j]
-            row_tile = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // tpt
-            col_tile = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // tpt
-            bit_idx = row_tile * k_sub + col_tile
             visible = jax.lax.shift_right_logical(
-                jnp.broadcast_to(bits, s.shape).astype(jnp.uint32),
-                bit_idx.astype(jnp.uint32),
+                jnp.broadcast_to(bits, s.shape).astype(jnp.uint32), bit_idx
             ) & jnp.uint32(1)
             s = jnp.where(visible == 1, s, NEG_INF)
 
         if per_head_valid:
             valid = kv_valid_ref[h]
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             limit = jnp.clip(valid - kv_block * block_kv, 0, block_kv)
-            s = jnp.where(col < limit, s, NEG_INF)
+            s = jnp.where(col_iota < limit, s, NEG_INF)
         elif kv_valid_len % block_kv != 0:
             last_block = kv_valid_len // block_kv
             in_block = kv_valid_len % block_kv
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             limit = jnp.where(kv_block == last_block, in_block, block_kv)
-            s = jnp.where(col < limit, s, NEG_INF)
+            s = jnp.where(col_iota < limit, s, NEG_INF)
 
         m_prev = m_s[...]
         l_prev = l_s[...]
@@ -177,10 +188,16 @@ def sparse_flash_attention_manual(
     kv_valid: Optional[jax.Array] = None,
     pair_bits: Optional[jax.Array] = None,
     tokens_per_tile: Optional[int] = None,
+    kv_bias: Optional[jax.Array] = None,
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
-    """Same contract as ops.flash.sparse_flash_attention_raw (forward only)."""
+    """Same contract as ops.flash.sparse_flash_attention_raw (forward only).
+
+    kv_bias: optional (1, Skv) f32 additive logits bias (e.g. -1e30 on padded
+    kv positions — handles traced/mid-sequence padding that static tables
+    cannot express, like per-prompt text lengths in joint attention).
+    """
     b, h, sq, d = q.shape
     skv = k.shape[2]
     if sq % block_q or skv % block_kv:
@@ -208,12 +225,14 @@ def sparse_flash_attention_manual(
         subtile = (tokens_per_tile, m_sub, k_sub)
     per_head_valid = kv_valid is not None
 
+    has_bias = kv_bias is not None
     kernel = functools.partial(
         _kernel,
         scale=float(scale),
         shared_head_tables=shared,
         shared_counts=shared_counts,
         per_head_valid=per_head_valid,
+        has_bias=has_bias,
         kv_valid_len=int(kv_valid_len),
         subtile=subtile,
         block_q=block_q,
@@ -230,14 +249,22 @@ def sparse_flash_attention_manual(
     def q_map(bb, hh, ii, *refs):
         return (bb, hh, ii, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_map),
+        pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
+    ]
+    inputs = [q, k, v]
+    if has_bias:
+        # whole bias vector lives in VMEM; index map constant per batch so
+        # the pipeline fetches it once
+        in_specs.append(pl.BlockSpec((1, skv), lambda bb, hh, ii, *r: (0, 0)))
+        inputs.append(kv_bias.astype(jnp.float32).reshape(1, skv))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(b, h, nq),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), q_map),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, block_q, d), q_map),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -263,4 +290,4 @@ def sparse_flash_attention_manual(
             transcendentals=int(b * h * sq * avg_width),
         ),
         interpret=interpret,
-    )(*prefetch, q, k, v)
+    )(*prefetch, *inputs)

@@ -67,20 +67,15 @@ def _dense_call(valid_len: int, block_q: int, block_kv: int, q_len: int) -> Expe
 
 
 def _sta_blocks(cfg: AttentionConfig):
-    """Largest kernel blocks whose sub-tile pairs fit the 32-bit mask."""
+    """Kernel blocks for the head-batched STA kernel: roughly square (both
+    matmul dims fed), capped so the per-cell VMEM window stays modest, and
+    the sub-tile pair count fits the 32-bit visibility mask."""
     tpt = cfg.tokens_per_tile
     if tpt % 8:
         raise ValueError(f"tokens_per_tile {tpt} must be a multiple of 8")
-    best = (tpt, tpt)
-    for m in range(1, 33):
-        if m * tpt > 2048:
-            break
-        k = min(32 // m, 2048 // tpt)
-        if k < 1:
-            continue
-        if m * tpt * k * tpt > best[0] * best[1]:
-            best = (m * tpt, k * tpt)
-    return best
+    m = max(1, min(5, 512 // tpt))
+    k = max(1, min(32 // m, 1024 // tpt))
+    return m * tpt, k * tpt
 
 
 def _sta_call(cfg: AttentionConfig) -> ExpertCall:
@@ -240,17 +235,24 @@ def fused_routed_attention(
         return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
 
     def sta_branch():
+        from .sta_batched import sta_flash_headbatched
+
         active = expert_id == STA
         shape, tile = cfg.latent_shape, cfg.sta_tile
-        out_t = _masked_call(
-            geo.sta,
-            tile_sequence(q, shape, tile),
-            tile_sequence(k, shape, tile),
-            tile_sequence(v, shape, tile),
+        call = geo.sta
+        out_t = sta_flash_headbatched(
+            _pad_to(tile_sequence(q, shape, tile), call.q_pad),
+            _pad_to(tile_sequence(k, shape, tile), call.kv_pad),
+            _pad_to(tile_sequence(v, shape, tile), call.kv_pad),
+            jnp.asarray(call.kv_index),
+            jnp.asarray(call.kv_count),
             active,
-            geo.tokens_per_tile,
-            scale,
-            interpret,
+            pair_bits=jnp.asarray(call.pair_bits),
+            tokens_per_tile=geo.tokens_per_tile,
+            scale=scale,
+            block_q=call.block_q,
+            block_kv=call.block_kv,
+            interpret=interpret,
         )[:, :, :s]
         return untile_sequence(out_t, shape, tile)
 

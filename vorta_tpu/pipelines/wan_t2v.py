@@ -31,6 +31,7 @@ class SamplingConfig:
     guidance_scale: float = 5.0
     flow_shift: float = 5.0
     routing_mode: str = "off"  # off | hard
+    scheduler: str = "unipc"  # unipc (reference inference default) | euler
     return_scores: bool = False
 
 
@@ -54,9 +55,19 @@ class WanT2VPipeline:
         return jax.random.normal(key, shape, jnp.float32)
 
     def _build_loop(self, sampling: SamplingConfig):
-        schedule = FlowMatchEulerSchedule.create(
-            sampling.num_inference_steps, sampling.flow_shift
-        )
+        from ..schedulers.unipc import UniPCSchedule, unipc_sample_step
+
+        if sampling.scheduler == "unipc":
+            schedule = UniPCSchedule.create(
+                sampling.num_inference_steps, sampling.flow_shift
+            )
+        elif sampling.scheduler == "euler":
+            schedule = FlowMatchEulerSchedule.create(
+                sampling.num_inference_steps, sampling.flow_shift
+            )
+        else:
+            raise ValueError(f"unknown scheduler {sampling.scheduler!r}")
+        use_unipc = sampling.scheduler == "unipc"
         attn_cfg = self.attn_cfg
         interpret = self.interpret
         guidance_scale = float(sampling.guidance_scale)
@@ -68,9 +79,11 @@ class WanT2VPipeline:
         def run(model: WanModel, latents, prompt_embeds, negative_prompt_embeds):
             sigmas = jnp.asarray(schedule.sigmas)
             timesteps = jnp.asarray(schedule.timesteps)
+            n_steps = schedule.num_steps
 
             @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
-            def step(model: WanModel, x, i):
+            def step(model: WanModel, carry, i):
+                x, m_prev, x_prev = carry
                 t = jnp.full((x.shape[0],), timesteps[i])
                 out = model(
                     x.astype(model.dtype),
@@ -93,14 +106,21 @@ class WanT2VPipeline:
                     )
                     vu = out_u.sample.astype(jnp.float32)
                     velocity = vu + guidance_scale * (velocity - vu)
-                dt = sigmas[i + 1] - sigmas[i]
-                x = x + dt * velocity
+                if use_unipc:
+                    x_next, m_i, x_hist = unipc_sample_step(
+                        x, velocity, i, sigmas, m_prev, x_prev, n_steps
+                    )
+                else:
+                    x_next = x + (sigmas[i + 1] - sigmas[i]) * velocity
+                    m_i, x_hist = m_prev, x_prev
                 scores = out.routing_scores if return_scores else jnp.zeros((), jnp.float32)
-                return x, scores
+                return (x_next, m_i, x_hist), scores
 
-            return step(
-                model, latents.astype(jnp.float32), jnp.arange(schedule.num_steps)
+            x0 = latents.astype(jnp.float32)
+            (x, _, _), scores = step(
+                model, (x0, jnp.zeros_like(x0), x0), jnp.arange(n_steps)
             )
+            return x, scores
 
         return run
 
