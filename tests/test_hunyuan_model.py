@@ -84,3 +84,18 @@ def test_guidance_changes_output(model, inputs):
     o2 = model(latents, t, text, mask, pooled, guidance=jnp.asarray([6000.0]),
                attn_cfg=ATTN, routing_mode="off", interpret=True).sample
     assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-5
+
+
+def test_hunyuan_pipeline_end_to_end(model, inputs):
+    from vorta_tpu.pipelines.hunyuan_t2v import HunyuanSamplingConfig, HunyuanT2VPipeline
+
+    latents, t, text, mask, pooled = inputs
+    pipe = HunyuanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    noise = pipe.prepare_latents(jax.random.PRNGKey(0), 1, 13, 64, 128)
+    assert noise.shape == latents.shape
+    out = pipe(
+        noise, text, mask, pooled,
+        sampling=HunyuanSamplingConfig(num_inference_steps=2, routing_mode="hard"),
+    )
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,38 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from vorta_tpu.config import WAN_TINY, AttentionConfig
+from vorta_tpu.models.wan import WanModel
+from vorta_tpu.parallel.mesh import make_mesh
+from vorta_tpu.pipelines.wan_t2v import SamplingConfig, WanT2VPipeline
+
+ATTN = AttentionConfig(
+    latent_shape=(4, 4, 4),
+    sta_window=(3, 3, 1),
+    sta_tile=(2, 2, 2),
+    lowres_window=(2, 2, 2),
+    block_q=16,
+    block_kv=16,
+    sta_block_q=8,
+    sta_block_kv=8,
+)
+
+
+@pytest.mark.parametrize("mode", ["off", "hard"])
+def test_sp_sampling_matches_single_device(mode):
+    model = WanModel(WAN_TINY, rngs=nnx.Rngs(0))
+    pipe = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    mesh = make_mesh(sp_size=2, dp_size=1)
+    pipe_sp = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True, mesh=mesh)
+
+    latents = pipe.prepare_latents(jax.random.PRNGKey(0), 1, 13, 64, 64)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    ne = jnp.zeros_like(pe)
+    cfg = SamplingConfig(num_inference_steps=2, guidance_scale=5.0, routing_mode=mode)
+
+    ref, _ = pipe(latents, pe, ne, sampling=cfg)
+    out, _ = pipe_sp(latents, pe, ne, sampling=cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4)

@@ -203,7 +203,7 @@ def sta_flash_headbatched(
         return q_out + acc + ml + kv
 
     hg = h
-    while hg > 1 and (vmem_bytes(hg) > 10 * 1024 * 1024 or h % hg):
+    while hg > 1 and (vmem_bytes(hg) > 5 * 1024 * 1024 or h % hg):
         hg -= 1
     n_groups = h // hg
 

@@ -36,15 +36,26 @@ class SamplingConfig:
 
 
 class WanT2VPipeline:
+    """Latent-space T2V sampler.
+
+    With ``mesh`` set (a (dp, sp) Mesh), each denoise step runs inside
+    shard_map: latent frames shard over the sp axis (Ulysses attention
+    all-to-all inside the model), conditioning replicated, scheduler math on
+    the sharded global array outside — the reference's SP pipeline
+    (pipeline_wan.py:300-366) without the NCCL choreography.
+    """
+
     def __init__(
         self,
         model: WanModel,
         attn_cfg: Optional[AttentionConfig] = None,
         interpret: bool = False,
+        mesh=None,
     ):
         self.model = model
         self.attn_cfg = attn_cfg
         self.interpret = interpret
+        self.mesh = mesh
         self._loop_cache = {}
 
     def prepare_latents(self, key: jax.Array, batch: int, frames: int, height: int, width: int):
@@ -122,7 +133,73 @@ class WanT2VPipeline:
             )
             return x, scores
 
-        return run
+        if self.mesh is None:
+            return run
+
+        # --- sequence-parallel loop: shard_map'd model step inside the scan
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        graphdef, _ = nnx.split(self.model)
+
+        def velocity_fn(state, x, pe, ne, t):
+            model = nnx.merge(graphdef, state)
+            out = model(
+                x.astype(model.dtype), t, pe,
+                attn_cfg=attn_cfg, routing_mode=routing_mode,
+                interpret=interpret, sp_axis="sp",
+            )
+            v = out.sample.astype(jnp.float32)
+            if do_cfg:
+                vu = model(
+                    x.astype(model.dtype), t, ne,
+                    attn_cfg=attn_cfg, routing_mode=routing_mode,
+                    interpret=interpret, sp_axis="sp",
+                ).sample.astype(jnp.float32)
+                v = vu + guidance_scale * (v - vu)
+            return v
+
+        smapped = shard_map(
+            velocity_fn, mesh=mesh,
+            in_specs=(P(), P(None, "sp"), P(), P(), P()),
+            out_specs=P(None, "sp"),
+            check_vma=False,
+        )
+
+        def run_sp(model, latents, pe, ne):
+            _, state = nnx.split(model)
+            sigmas = jnp.asarray(schedule.sigmas)
+            timesteps = jnp.asarray(schedule.timesteps)
+            n_steps = schedule.num_steps
+            latents = jax.device_put(
+                latents.astype(jnp.float32), NamedSharding(mesh, P(None, "sp"))
+            )
+
+            @jax.jit
+            def loop(state, latents, pe, ne):
+                def body(carry, i):
+                    x, m_prev, x_prev = carry
+                    t = jnp.full((x.shape[0],), timesteps[i])
+                    v = smapped(state, x, pe, ne, t)
+                    if use_unipc:
+                        x_next, m_i, x_hist = unipc_sample_step(
+                            x, v, i, sigmas, m_prev, x_prev, n_steps
+                        )
+                    else:
+                        x_next = x + (sigmas[i + 1] - sigmas[i]) * v
+                        m_i, x_hist = m_prev, x_prev
+                    return (x_next, m_i, x_hist), ()
+
+                (x, _, _), _ = jax.lax.scan(
+                    body, (latents, jnp.zeros_like(latents), latents),
+                    jnp.arange(n_steps),
+                )
+                return x
+
+            return loop(state, latents, pe, ne), None
+
+        return run_sp
 
     def __call__(
         self,
