@@ -29,7 +29,8 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model", default="wan-1_3B", choices=["wan-1_3B", "wan-14B", "wan-tiny"])
+    p.add_argument("--model", default="wan-1_3B",
+                   choices=["wan-1_3B", "wan-14B", "wan-tiny", "hunyuan-13B", "hunyuan-tiny"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--torch_checkpoint", default=None, help="DiT weights (diffusers safetensors/pt)")
     p.add_argument("--resume_dir", default=None,
@@ -87,6 +88,8 @@ def main(argv=None):
     from vorta_tpu.pipelines.wan_t2v import SamplingConfig, WanT2VPipeline
 
     interpret = jax.default_backend() not in ("tpu",)
+    if args.model.startswith("hunyuan"):
+        return _main_hunyuan(args, interpret)
     model_cfg = {"wan-1_3B": WAN_1_3B, "wan-14B": WAN_14B, "wan-tiny": WAN_TINY}[args.model]
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
@@ -179,3 +182,79 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _main_hunyuan(args, interpret):
+    """HunyuanVideo sampling (reference: scripts/hunyuan/inference.py)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from vorta_tpu.config import AttentionConfig
+    from vorta_tpu.geometry import HUNYUAN_GEOMETRY
+    from vorta_tpu.models.hunyuan import HUNYUAN_13B, HUNYUAN_TINY, HunyuanModel
+    from vorta_tpu.pipelines.hunyuan_t2v import HunyuanSamplingConfig, HunyuanT2VPipeline
+
+    model_cfg = HUNYUAN_13B if args.model == "hunyuan-13B" else HUNYUAN_TINY
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    grid = HUNYUAN_GEOMETRY.tokens((args.num_frames, args.height, args.width))
+    if args.model == "hunyuan-tiny":
+        attn_cfg = AttentionConfig(
+            latent_shape=grid, sta_window=(3, 3, 3), sta_tile=(2, 2, 2),
+            lowres_window=(2, 2, 2), block_q=32, block_kv=32,
+            sta_block_q=8, sta_block_kv=8, tau_sparse=args.tau_sparse,
+        )
+    else:
+        attn_cfg = AttentionConfig(
+            latent_shape=grid, sta_window=(3, 3, 3), sta_tile=(6, 9, 8),
+            lowres_window=(2, 3, 2), tau_sparse=args.tau_sparse,
+        )
+    if args.resume_dir and (Path(args.resume_dir) / "config.json").exists():
+        attn_cfg = AttentionConfig.load(Path(args.resume_dir) / "config.json")
+
+    print(f"[sample] model={args.model} grid={grid} routing="
+          f"{'off' if args.native_attention else 'hard'} backend={jax.default_backend()}")
+    model = HunyuanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
+    if args.torch_checkpoint:
+        from vorta_tpu.io.torch_import import load_hunyuan_torch_weights
+
+        applied, missing = load_hunyuan_torch_weights(model, args.torch_checkpoint)
+        print(f"[sample] imported {len(applied)} tensors ({len(missing)} missing)")
+    if args.router_checkpoint:
+        from vorta_tpu.io.torch_import import load_router_torch_checkpoint
+
+        print("[sample] NOTE: hunyuan router import expects torch router.pt "
+              "with transformer/single_transformer block keys")
+
+    import numpy as np
+
+    if args.random_embeds:
+        text = jax.random.normal(
+            jax.random.PRNGKey(args.seed + 1), (1, model_cfg.text_len, model_cfg.text_dim))
+        pooled = jax.random.normal(jax.random.PRNGKey(args.seed + 2), (1, model_cfg.pooled_dim))
+        mask = jnp.ones((1, model_cfg.text_len), bool)
+    elif args.prompt_embeds:
+        arr = load_embeds(args.prompt_embeds, model_cfg)
+        text = jnp.asarray(arr)
+        pooled = text[:, 0, : model_cfg.pooled_dim]
+        mask = jnp.any(text != 0, axis=-1)
+    else:
+        raise SystemExit("need --prompt_embeds or --random_embeds")
+
+    pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
+    latents = pipe.prepare_latents(
+        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width)
+    sampling = HunyuanSamplingConfig(
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        flow_shift=args.flow_shift,
+        routing_mode="off" if args.native_attention else "hard",
+    )
+    t0 = time.time()
+    final = pipe(latents, text, mask, pooled, sampling=sampling)
+    final.block_until_ready()
+    print(f"[sample] denoised in {time.time() - t0:.1f}s")
+    out = Path(args.output)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.save(out.with_suffix(".npy"), np.asarray(final))
+    print(f"[sample] wrote {out.with_suffix('.npy')}")

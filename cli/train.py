@@ -28,7 +28,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     # model
     p.add_argument("--model", default="wan-1_3B",
-                   choices=["wan-1_3B", "wan-14B", "wan-tiny"])
+                   choices=["wan-1_3B", "wan-14B", "wan-tiny",
+                            "hunyuan-13B", "hunyuan-tiny"])
     p.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--torch_checkpoint", default=None,
                    help="path to torch/safetensors DiT weights to import")
@@ -106,10 +107,35 @@ def main(argv=None):
     out_dir.mkdir(parents=True, exist_ok=True)
     interpret = jax.default_backend() != "tpu"
 
-    model_cfg = {"wan-1_3B": WAN_1_3B, "wan-14B": WAN_14B, "wan-tiny": WAN_TINY}[args.model]
+    from vorta_tpu.models.hunyuan import HUNYUAN_13B, HUNYUAN_TINY, HunyuanModel
+    from vorta_tpu.training.step import make_hunyuan_router_train_step
+
+    is_hunyuan = args.model.startswith("hunyuan")
+    model_cfg = {
+        "wan-1_3B": WAN_1_3B, "wan-14B": WAN_14B, "wan-tiny": WAN_TINY,
+        "hunyuan-13B": HUNYUAN_13B, "hunyuan-tiny": HUNYUAN_TINY,
+    }[args.model]
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    if args.model == "wan-tiny":
+    if args.model == "hunyuan-tiny":
+        latent_shape = (4, 4, 8)
+        attn_cfg = AttentionConfig(
+            latent_shape=latent_shape, sta_window=(3, 3, 3), sta_tile=(2, 2, 2),
+            lowres_window=(2, 2, 2), block_q=32, block_kv=32,
+            sta_block_q=8, sta_block_kv=8, tau_sparse=args.tau_sparse,
+        )
+    elif args.model == "hunyuan-13B":
+        _, lh, lw = WAN_GEOMETRY.tokens((1, args.video_height, args.video_width))
+        latent_shape = (args.num_latent_t, lh, lw)
+        attn_cfg = AttentionConfig(
+            latent_shape=latent_shape,
+            sta_window=tuple(args.sta_window),
+            sta_tile=(6, 9, 8),  # reference hunyuan train.sh tile
+            lowres_window=tuple(args.lowres_window),
+            lowres_reduction=args.lowres_reduction_rate,
+            tau_sparse=args.tau_sparse,
+        )
+    elif args.model == "wan-tiny":
         latent_shape = (4, 4, 4)
         attn_cfg = AttentionConfig(
             latent_shape=latent_shape, sta_window=(3, 3, 1), sta_tile=(2, 2, 2),
@@ -134,11 +160,18 @@ def main(argv=None):
     print(f"[train] model={args.model} latent={latent_shape} "
           f"mesh=(dp={args.dp_size or 'auto'}, sp={args.sp_size}) backend={jax.default_backend()}")
 
-    model = WanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(args.seed))
-    if args.torch_checkpoint:
-        from vorta_tpu.io.torch_import import load_wan_torch_weights
+    if is_hunyuan:
+        model = HunyuanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(args.seed))
+        if args.torch_checkpoint:
+            from vorta_tpu.io.torch_import import load_hunyuan_torch_weights
 
-        load_wan_torch_weights(model, args.torch_checkpoint)
+            load_hunyuan_torch_weights(model, args.torch_checkpoint)
+    else:
+        model = WanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(args.seed))
+        if args.torch_checkpoint:
+            from vorta_tpu.io.torch_import import load_wan_torch_weights
+
+            load_wan_torch_weights(model, args.torch_checkpoint)
     graphdef, router_state, frozen_state = router_partition(model)
     # routers train in f32 regardless of model dtype
     router_state = jax.tree.map(lambda x: x.astype(jnp.float32), router_state)
@@ -182,18 +215,25 @@ def main(argv=None):
     dp = mesh.shape["dp"]
     use_mesh = dp * sp > 1
 
-    step_fn = make_router_train_step(
+    if is_hunyuan and use_mesh and sp > 1:
+        raise SystemExit("hunyuan SP pending (round-2); use --sp_size 1 with --dp_size N")
+    make_step = make_hunyuan_router_train_step if is_hunyuan else make_router_train_step
+    step_fn = make_step(
         graphdef, attn_cfg, optimizer, weights=weights,
         timestep_table=sigmas * 1000.0, sigma_table=sigmas,
-        sp_axis="sp" if use_mesh else None,
+        sp_axis="sp" if (use_mesh and sp > 1) else None,
         dp_axis="dp" if use_mesh else None,
         interpret=interpret,
     )
     if use_mesh:
+        batch_specs = (
+            (P("dp", "sp"), P("dp"), P("dp"), P("dp")) if is_hunyuan
+            else (P("dp", "sp"), P("dp"))
+        )
         step_fn = jax.jit(
             shard_map(
                 step_fn, mesh=mesh,
-                in_specs=(P(), P(), P(), P("dp", "sp"), P("dp"), P()),
+                in_specs=(P(), P(), P()) + batch_specs + (P(),),
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
@@ -219,16 +259,36 @@ def main(argv=None):
 
         def batches():
             while True:
-                yield (
-                    rng.standard_normal((batch, t * pt, lh * ph, lw * pw, model_cfg.in_channels), np.float32),
-                    rng.standard_normal((batch, model_cfg.text_len, model_cfg.text_dim), np.float32),
-                    None,
-                )
+                latents = rng.standard_normal(
+                    (batch, t * pt, lh * ph, lw * pw, model_cfg.in_channels), np.float32)
+                text = rng.standard_normal(
+                    (batch, model_cfg.text_len, model_cfg.text_dim), np.float32)
+                if is_hunyuan:
+                    mask = np.ones((batch, model_cfg.text_len), bool)
+                    mask[:, model_cfg.text_len // 2:] = False
+                    pooled = rng.standard_normal((batch, model_cfg.pooled_dim), np.float32)
+                    yield (latents, text, mask, pooled)
+                else:
+                    yield (latents, text)
 
         data_iter = batches()
     else:
         ds = LatentDataset(args.data_json_path, args.num_latent_t, args.cfg_rate, args.seed)
-        data_iter = epoch_iterator(ds, batch, seed=args.seed)
+        base_iter = epoch_iterator(ds, batch, seed=args.seed)
+
+        def adapt():
+            for latents, embeds, mask in base_iter:
+                if is_hunyuan:
+                    # reference: pooled projection is the first row of the
+                    # prompt embed (scripts/hunyuan/train_one_step.py:90-92)
+                    pooled = embeds[:, 0, : model_cfg.pooled_dim]
+                    m = (mask if mask is not None
+                         else np.ones(embeds.shape[:2], bool))
+                    yield (latents, embeds[:, : model_cfg.text_len], m.astype(bool), pooled)
+                else:
+                    yield (latents, embeds)
+
+        data_iter = adapt()
 
     logger = MetricsLogger(out_dir)
     key = jax.random.PRNGKey(args.seed)
@@ -236,11 +296,11 @@ def main(argv=None):
     t_start = time.time()
     for step in range(init_step, args.max_train_steps):
         for _ in range(micro_per_step):
-            latents, embeds, _ = next(data_iter)
+            batch_arrays = next(data_iter)
             key, sub = jax.random.split(key)
             router_state, opt_state, metrics = step_fn(
                 router_state, frozen_state, opt_state,
-                jnp.asarray(latents), jnp.asarray(embeds), sub,
+                *[jnp.asarray(a) for a in batch_arrays], sub,
             )
         if (step + 1) % args.report_interval == 0:
             line = logger.log(step + 1, jax.tree.map(float, metrics))

@@ -144,6 +144,8 @@ def _apply_tree(state: nnx.State, tree: dict, path=""):
     def rec(st, tr, p):
         for k, v in tr.items():
             kk = k if k in st else None
+            if kk is None and isinstance(k, str) and k.isdigit() and int(k) in st:
+                kk = int(k)  # nnx.List children are int-keyed
             if kk is None:
                 missing.append(f"{p}{k}")
                 continue
@@ -172,6 +174,131 @@ def load_wan_torch_weights(model, path, strict_shapes: bool = True):
     cfg = model.cfg
     sd = load_state_dict(path)
     tree = wan_state_dict_to_tree(sd, cfg.num_layers)
+    graphdef, state = nnx.split(model)
+    applied, missing = _apply_tree(state, tree)
+    nnx.update(model, state)
+    return applied, missing
+
+
+def hunyuan_state_dict_to_tree(sd: Dict[str, np.ndarray], dual_layers: int,
+                               single_layers: int, refiner_layers: int) -> dict:
+    """diffusers HunyuanVideoTransformer3DModel state_dict -> our tree."""
+    tree: dict = {}
+    conv_w = _f32(sd["x_embedder.proj.weight"])  # (dim, in, kt, kh, kw)
+    tree["x_embedder"] = {
+        "kernel": np.transpose(conv_w, (2, 3, 4, 1, 0)),
+        "bias": _f32(sd["x_embedder.proj.bias"]),
+    }
+    tte = "time_text_embed"
+    tree["time_text_embed"] = {
+        "timestep_embedder": {
+            "linear_1": _linear(sd, f"{tte}.timestep_embedder.linear_1"),
+            "linear_2": _linear(sd, f"{tte}.timestep_embedder.linear_2"),
+        },
+        "text_embedder_1": _linear(sd, f"{tte}.text_embedder.linear_1"),
+        "text_embedder_2": _linear(sd, f"{tte}.text_embedder.linear_2"),
+    }
+    if f"{tte}.guidance_embedder.linear_1.weight" in sd:
+        tree["time_text_embed"]["guidance_embedder"] = {
+            "linear_1": _linear(sd, f"{tte}.guidance_embedder.linear_1"),
+            "linear_2": _linear(sd, f"{tte}.guidance_embedder.linear_2"),
+        }
+
+    ce = "context_embedder"
+    refiner_blocks = []
+    for i in range(refiner_layers):
+        p = f"{ce}.token_refiner.refiner_blocks.{i}"
+        refiner_blocks.append({
+            "norm1": {"scale": _f32(sd[f"{p}.norm1.weight"]), "bias": _f32(sd[f"{p}.norm1.bias"])},
+            "to_q": _linear(sd, f"{p}.attn.to_q"),
+            "to_k": _linear(sd, f"{p}.attn.to_k"),
+            "to_v": _linear(sd, f"{p}.attn.to_v"),
+            "to_out": _linear(sd, f"{p}.attn.to_out.0"),
+            "norm2": {"scale": _f32(sd[f"{p}.norm2.weight"]), "bias": _f32(sd[f"{p}.norm2.bias"])},
+            "ff": {
+                "proj_in": _linear(sd, f"{p}.ff.net.0.proj"),
+                "proj_out": _linear(sd, f"{p}.ff.net.2"),
+            },
+            "gates": {"linear": _linear(sd, f"{p}.norm_out.linear")},
+        })
+    tree["context_embedder"] = {
+        "proj_in": _linear(sd, f"{ce}.proj_in"),
+        "time_embedder": {
+            "linear_1": _linear(sd, f"{ce}.time_text_embed.timestep_embedder.linear_1"),
+            "linear_2": _linear(sd, f"{ce}.time_text_embed.timestep_embedder.linear_2"),
+        },
+        "text_pool_embedder": _linear(sd, f"{ce}.time_text_embed.text_embedder.linear_1"),
+        "text_pool_out": _linear(sd, f"{ce}.time_text_embed.text_embedder.linear_2"),
+        "blocks": {str(i): b for i, b in enumerate(refiner_blocks)},
+    }
+
+    def rms(prefix):
+        return {"weight": _f32(sd[f"{prefix}.weight"])}
+
+    duals = []
+    for i in range(dual_layers):
+        p = f"transformer_blocks.{i}"
+        duals.append({
+            "norm1_mod": {"linear": _linear(sd, f"{p}.norm1.linear")},
+            "norm1_context_mod": {"linear": _linear(sd, f"{p}.norm1_context.linear")},
+            "attn": {
+                "to_q": _linear(sd, f"{p}.attn.to_q"),
+                "to_k": _linear(sd, f"{p}.attn.to_k"),
+                "to_v": _linear(sd, f"{p}.attn.to_v"),
+                "add_q_proj": _linear(sd, f"{p}.attn.add_q_proj"),
+                "add_k_proj": _linear(sd, f"{p}.attn.add_k_proj"),
+                "add_v_proj": _linear(sd, f"{p}.attn.add_v_proj"),
+                "norm_q": rms(f"{p}.attn.norm_q"),
+                "norm_k": rms(f"{p}.attn.norm_k"),
+                "norm_added_q": rms(f"{p}.attn.norm_added_q"),
+                "norm_added_k": rms(f"{p}.attn.norm_added_k"),
+                "to_out": _linear(sd, f"{p}.attn.to_out.0"),
+                "to_add_out": _linear(sd, f"{p}.attn.to_add_out"),
+            },
+            "ff": {
+                "proj_in": _linear(sd, f"{p}.ff.net.0.proj"),
+                "proj_out": _linear(sd, f"{p}.ff.net.2"),
+            },
+            "ff_context": {
+                "proj_in": _linear(sd, f"{p}.ff_context.net.0.proj"),
+                "proj_out": _linear(sd, f"{p}.ff_context.net.2"),
+            },
+        })
+        if f"{p}.router.linear.weight" in sd:
+            duals[-1]["router"] = {"linear": _linear(sd, f"{p}.router.linear")}
+    tree["dual_blocks"] = _stack(duals)
+
+    singles = []
+    for i in range(single_layers):
+        p = f"single_transformer_blocks.{i}"
+        singles.append({
+            "norm_mod": {"linear": _linear(sd, f"{p}.norm.linear")},
+            "attn": {
+                "to_q": _linear(sd, f"{p}.attn.to_q"),
+                "to_k": _linear(sd, f"{p}.attn.to_k"),
+                "to_v": _linear(sd, f"{p}.attn.to_v"),
+                "norm_q": rms(f"{p}.attn.norm_q"),
+                "norm_k": rms(f"{p}.attn.norm_k"),
+            },
+            "proj_mlp": _linear(sd, f"{p}.proj_mlp"),
+            "proj_out": _linear(sd, f"{p}.proj_out"),
+        })
+        if f"{p}.router.linear.weight" in sd:
+            singles[-1]["router"] = {"linear": _linear(sd, f"{p}.router.linear")}
+    tree["single_blocks"] = _stack(singles)
+
+    tree["norm_out_mod"] = {"linear": _linear(sd, "norm_out.linear")}
+    tree["proj_out"] = _linear(sd, "proj_out")
+    return tree
+
+
+def load_hunyuan_torch_weights(model, path):
+    """Import diffusers HunyuanVideo weights into models.hunyuan.HunyuanModel."""
+    cfg = model.cfg
+    sd = load_state_dict(path)
+    tree = hunyuan_state_dict_to_tree(
+        sd, cfg.dual_layers, cfg.single_layers, cfg.refiner_layers
+    )
     graphdef, state = nnx.split(model)
     applied, missing = _apply_tree(state, tree)
     nnx.update(model, state)

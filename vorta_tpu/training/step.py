@@ -143,6 +143,87 @@ def make_router_train_step(
     return train_step
 
 
+def make_hunyuan_router_train_step(
+    graphdef,
+    attn_cfg: AttentionConfig,
+    optimizer: optax.GradientTransformation,
+    weights: LossWeights = LossWeights(),
+    timestep_table=None,
+    sigma_table=None,
+    guidance_value: float = 1000.0,  # reference: const guidance 1000 at train
+    sp_axis: Optional[str] = None,
+    dp_axis: Optional[str] = None,
+    interpret: bool = False,
+):
+    """Hunyuan variant: batch carries (latents, text_states, text_mask,
+    pooled_text) — reference scripts/hunyuan/train_one_step.py (pooled
+    projection split from the prompt embed, guidance=1000).
+
+    Sequence parallelism for the joint video+text attention is not wired yet
+    (round-2); dp-only meshes are supported."""
+    if sp_axis is not None:
+        raise NotImplementedError(
+            "Hunyuan sequence parallelism pending; use sp_size=1 (dp-only mesh)"
+        )
+    tt = jnp.asarray(timestep_table)
+    st = jnp.asarray(sigma_table)
+
+    def loss_fn(router_state, frozen_state, latents, text, mask, pooled, key):
+        model = nnx.merge(graphdef, router_state, frozen_state)
+        b = latents.shape[0]
+        k_t, k_eps = jax.random.split(key)
+        timesteps, sigmas = sample_timesteps(k_t, b, tt, st, n_intervals=weights.n_intervals)
+        x0 = latents.astype(jnp.float32)
+        eps = jax.random.normal(k_eps, x0.shape, jnp.float32)
+        if sp_axis is not None:
+            r = jax.lax.axis_index(sp_axis)
+            eps = jax.random.normal(jax.random.fold_in(k_eps, r), x0.shape, jnp.float32)
+        sig = sigmas[:, None, None, None, None]
+        noisy = (1.0 - sig) * x0 + sig * eps
+
+        out = model(
+            noisy.astype(model.dtype), timesteps, text, mask, pooled,
+            guidance=jnp.full((b,), guidance_value),
+            attn_cfg=attn_cfg, routing_mode="soft",
+            return_losses=True, interpret=interpret,
+        )
+        pred = out.sample.astype(jnp.float32)
+        if weights.precondition_outputs:
+            fm = jnp.mean(jnp.square((noisy - pred * sig) - x0))
+        else:
+            fm = jnp.mean(jnp.square(pred - (eps - x0)))
+        dw, (w_reg, w_last, w_hidden) = rebalance_loss_weights(
+            weights.diffusion,
+            (weights.reg, weights.last_layer_distill, weights.hidden_layer_distill),
+            timesteps, n_intervals=weights.n_intervals,
+        )
+        fm_, last, hidden = fm, out.last_layer_distill_loss, out.hidden_layer_distill_loss
+        if sp_axis is not None:
+            fm_ = jax.lax.pmean(fm_, sp_axis)
+            last = jax.lax.pmean(last, sp_axis)
+            hidden = jax.lax.pmean(hidden, sp_axis)
+        loss = dw * fm_ + w_reg * out.reg_loss + w_last * last + w_hidden * hidden
+        metrics = {
+            "loss": loss, "l_fm": fm_, "l_reg": out.reg_loss,
+            "l_last": last, "l_hidden": hidden, "timestep": timesteps[0],
+        }
+        return loss, metrics
+
+    def train_step(router_state, frozen_state, opt_state, latents, text, mask, pooled, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            router_state, frozen_state, latents, text, mask, pooled, key
+        )
+        if dp_axis is not None:
+            grads = jax.lax.pmean(grads, dp_axis)
+            metrics = jax.tree.map(lambda m: jax.lax.pmean(m, dp_axis), metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params=router_state)
+        router_state = optax.apply_updates(router_state, updates)
+        return router_state, opt_state, metrics
+
+    return train_step
+
+
 def make_optimizer(
     lr: float = 1e-2,
     weight_decay: float = 1e-4,
