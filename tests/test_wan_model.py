@@ -96,3 +96,23 @@ def test_timestep_changes_routing(model, inputs):
     s2 = model(latents, jnp.asarray([900.0]), ctx, attn_cfg=ATTN,
                routing_mode="soft", return_scores=True, interpret=True).routing_scores
     assert np.abs(np.asarray(s1) - np.asarray(s2)).max() > 1e-6
+
+
+def test_i2v_image_conditioning():
+    from vorta_tpu.config import WanModelConfig
+
+    cfg = WanModelConfig(
+        dim=128, ffn_dim=256, num_heads=2, head_dim=64, num_layers=2,
+        text_dim=32, text_len=16, freq_dim=32, image_dim=24,
+    )
+    m = WanModel(cfg, rngs=nnx.Rngs(0))
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, cfg.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim))
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 257, cfg.image_dim))
+    t = jnp.asarray([500.0])
+    out_t2v = m(latents, t, ctx, attn_cfg=ATTN, routing_mode="off", interpret=True).sample
+    out_i2v = m(latents, t, ctx, attn_cfg=ATTN, routing_mode="off", interpret=True,
+                image_context=img).sample
+    assert np.isfinite(np.asarray(out_i2v)).all()
+    # image conditioning must change the output through the cross-attn branch
+    assert np.abs(np.asarray(out_i2v) - np.asarray(out_t2v)).max() > 1e-5

@@ -93,6 +93,19 @@ def wan_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
             "linear_2": _linear(sd, f"{ce}.text_embedder.linear_2"),
         },
     }
+    if f"{ce}.image_embedder.norm1.weight" in sd:  # I2V variants
+        tree[ce]["image_embedder"] = {
+            "norm1": {
+                "scale": _f32(sd[f"{ce}.image_embedder.norm1.weight"]),
+                "bias": _f32(sd[f"{ce}.image_embedder.norm1.bias"]),
+            },
+            "proj_in": _linear(sd, f"{ce}.image_embedder.ff.net.0.proj"),
+            "proj_out": _linear(sd, f"{ce}.image_embedder.ff.net.2"),
+            "norm2": {
+                "scale": _f32(sd[f"{ce}.image_embedder.norm2.weight"]),
+                "bias": _f32(sd[f"{ce}.image_embedder.norm2.bias"]),
+            },
+        }
 
     def attn(prefix, has_added_kv):
         d = {
@@ -317,6 +330,133 @@ def load_router_torch_checkpoint(model, path):
             {"router": {"linear": _linear(router_sd, f"blocks.{i}.router.linear")}}
         )
     tree = {"blocks": _stack(blocks)}
+    graphdef, state = nnx.split(model)
+    applied, missing = _apply_tree(state, tree)
+    nnx.update(model, state)
+    return applied, missing
+
+
+def umt5_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """transformers UMT5EncoderModel state_dict -> models.umt5.UMT5Encoder tree."""
+    pref = "encoder." if any(k.startswith("encoder.") for k in sd) else ""
+    tree = {
+        "embed": {"embedding": _f32(sd.get("shared.weight", sd.get(f"{pref}embed_tokens.weight")))},
+        "final_norm": {"weight": _f32(sd[f"{pref}final_layer_norm.weight"])},
+        "blocks": {},
+    }
+
+    def nb_linear(prefix):  # T5 linears have no bias
+        return {"kernel": _f32(sd[f"{prefix}.weight"]).T}
+
+    for i in range(num_layers):
+        p = f"{pref}block.{i}"
+        tree["blocks"][str(i)] = {
+            "norm1": {"weight": _f32(sd[f"{p}.layer.0.layer_norm.weight"])},
+            "attn": {
+                "q": nb_linear(f"{p}.layer.0.SelfAttention.q"),
+                "k": nb_linear(f"{p}.layer.0.SelfAttention.k"),
+                "v": nb_linear(f"{p}.layer.0.SelfAttention.v"),
+                "o": nb_linear(f"{p}.layer.0.SelfAttention.o"),
+                "rel_bias": {
+                    "embedding": _f32(
+                        sd[f"{p}.layer.0.SelfAttention.relative_attention_bias.weight"]
+                    )
+                },
+            },
+            "norm2": {"weight": _f32(sd[f"{p}.layer.1.layer_norm.weight"])},
+            "ffn": {
+                "wi_0": nb_linear(f"{p}.layer.1.DenseReluDense.wi_0"),
+                "wi_1": nb_linear(f"{p}.layer.1.DenseReluDense.wi_1"),
+                "wo": nb_linear(f"{p}.layer.1.DenseReluDense.wo"),
+            },
+        }
+    return tree
+
+
+def load_umt5_torch_weights(model, path):
+    sd = load_state_dict(path)
+    tree = umt5_state_dict_to_tree(sd, model.cfg.num_layers)
+    graphdef, state = nnx.split(model)
+    applied, missing = _apply_tree(state, tree)
+    nnx.update(model, state)
+    return applied, missing
+
+
+def llama_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """transformers LlamaModel state_dict -> models.text_encoders.LlamaTextEncoder."""
+    pref = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def nb(prefix):
+        return {"kernel": _f32(sd[f"{prefix}.weight"]).T}
+
+    tree = {
+        "embed_tokens": {"embedding": _f32(sd[f"{pref}embed_tokens.weight"])},
+        "norm": {"weight": _f32(sd[f"{pref}norm.weight"])},
+        "layers": {},
+    }
+    for i in range(num_layers):
+        p = f"{pref}layers.{i}"
+        tree["layers"][str(i)] = {
+            "input_layernorm": {"weight": _f32(sd[f"{p}.input_layernorm.weight"])},
+            "q_proj": nb(f"{p}.self_attn.q_proj"),
+            "k_proj": nb(f"{p}.self_attn.k_proj"),
+            "v_proj": nb(f"{p}.self_attn.v_proj"),
+            "o_proj": nb(f"{p}.self_attn.o_proj"),
+            "post_attention_layernorm": {
+                "weight": _f32(sd[f"{p}.post_attention_layernorm.weight"])
+            },
+            "gate_proj": nb(f"{p}.mlp.gate_proj"),
+            "up_proj": nb(f"{p}.mlp.up_proj"),
+            "down_proj": nb(f"{p}.mlp.down_proj"),
+        }
+    return tree
+
+
+def load_llama_torch_weights(model, path):
+    sd = load_state_dict(path)
+    tree = llama_state_dict_to_tree(sd, model.cfg.num_layers)
+    graphdef, state = nnx.split(model)
+    applied, missing = _apply_tree(state, tree)
+    nnx.update(model, state)
+    return applied, missing
+
+
+def clip_text_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
+    """transformers CLIPTextModel -> models.text_encoders.CLIPTextEncoder."""
+    pref = "text_model." if any(k.startswith("text_model.") for k in sd) else ""
+    tree = {
+        "token_embedding": {"embedding": _f32(sd[f"{pref}embeddings.token_embedding.weight"])},
+        "position_embedding": _f32(sd[f"{pref}embeddings.position_embedding.weight"]),
+        "final_layer_norm": {
+            "scale": _f32(sd[f"{pref}final_layer_norm.weight"]),
+            "bias": _f32(sd[f"{pref}final_layer_norm.bias"]),
+        },
+        "blocks": {},
+    }
+    for i in range(num_layers):
+        p = f"{pref}encoder.layers.{i}"
+        tree["blocks"][str(i)] = {
+            "layer_norm1": {
+                "scale": _f32(sd[f"{p}.layer_norm1.weight"]),
+                "bias": _f32(sd[f"{p}.layer_norm1.bias"]),
+            },
+            "q_proj": _linear(sd, f"{p}.self_attn.q_proj"),
+            "k_proj": _linear(sd, f"{p}.self_attn.k_proj"),
+            "v_proj": _linear(sd, f"{p}.self_attn.v_proj"),
+            "out_proj": _linear(sd, f"{p}.self_attn.out_proj"),
+            "layer_norm2": {
+                "scale": _f32(sd[f"{p}.layer_norm2.weight"]),
+                "bias": _f32(sd[f"{p}.layer_norm2.bias"]),
+            },
+            "fc1": _linear(sd, f"{p}.mlp.fc1"),
+            "fc2": _linear(sd, f"{p}.mlp.fc2"),
+        }
+    return tree
+
+
+def load_clip_text_torch_weights(model, path):
+    sd = load_state_dict(path)
+    tree = clip_text_state_dict_to_tree(sd, model.cfg.num_layers)
     graphdef, state = nnx.split(model)
     applied, missing = _apply_tree(state, tree)
     nnx.update(model, state)

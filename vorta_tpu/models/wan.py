@@ -242,6 +242,23 @@ class WanBlock(nnx.Module):
         return x, scores
 
 
+class WanImageEmbedding(nnx.Module):
+    """CLIP image-embed projection for I2V (diffusers WanImageEmbedding):
+    LayerNorm(in) -> FF(in -> dim, gelu, mult=1) -> LayerNorm(dim)."""
+
+    def __init__(self, in_dim: int, dim: int, *, dtype, param_dtype, rngs: nnx.Rngs):
+        kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.norm1 = nnx.LayerNorm(in_dim, rngs=rngs)
+        self.proj_in = nnx.Linear(in_dim, in_dim, **kw)
+        self.proj_out = nnx.Linear(in_dim, dim, **kw)
+        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+
+    def __call__(self, image_embeds: jax.Array) -> jax.Array:
+        h = self.norm1(image_embeds)
+        h = self.proj_out(jax.nn.gelu(self.proj_in(h), approximate=True))
+        return self.norm2(h)
+
+
 class WanConditionEmbedder(nnx.Module):
     """Timestep + text (+ image) conditioning (diffusers WanTimeTextImageEmbedding)."""
 
@@ -256,14 +273,24 @@ class WanConditionEmbedder(nnx.Module):
         self.text_embedder = TextProjection(
             cfg.text_dim, cfg.dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs
         )
+        self.image_embedder = (
+            WanImageEmbedding(cfg.image_dim, cfg.dim, dtype=dtype,
+                              param_dtype=param_dtype, rngs=rngs)
+            if cfg.image_dim is not None
+            else None
+        )
 
-    def __call__(self, timestep: jax.Array, context: jax.Array):
+    def __call__(self, timestep: jax.Array, context: jax.Array,
+                 image_embeds: Optional[jax.Array] = None):
         sin_emb = sinusoidal_timestep_embedding(timestep, self.freq_dim)
         temb = self.time_embedder(sin_emb)  # (B, dim)
         temb6 = self.time_proj(jax.nn.silu(temb))
         temb6 = temb6.reshape(temb.shape[0], 6, -1)
         ctx = self.text_embedder(context)
-        return temb, temb6, ctx
+        img = None
+        if image_embeds is not None and self.image_embedder is not None:
+            img = self.image_embedder(image_embeds)
+        return temb, temb6, ctx, img
 
 
 class WanModel(nnx.Module):
@@ -347,7 +374,10 @@ class WanModel(nnx.Module):
         x = self.patch_embedding(latents.astype(self.dtype))
         x = x.reshape(b, -1, cfg.dim)
 
-        temb, temb6, ctx = self.condition_embedder(timestep, context.astype(self.dtype))
+        temb, temb6, ctx, img_ctx = self.condition_embedder(
+            timestep, context.astype(self.dtype), image_context
+        )
+        image_context = img_ctx if img_ctx is not None else image_context
         rope = self._rope(grid)
         if sp_axis is not None:
             # this rank's contiguous rows of the global RoPE tables
