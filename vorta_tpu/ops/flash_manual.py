@@ -205,6 +205,11 @@ def sparse_flash_attention_manual(
             f"seq lens ({sq},{skv}) not divisible by blocks ({block_q},{block_kv})"
         )
     nq = sq // block_q
+    if d % 128 and not interpret:
+        raise ValueError(
+            f"head_dim {d} must be a multiple of 128 (TPU lane width) for the "
+            "manual-DMA kernels; use interpret mode or the XLA reference path"
+        )
     shared = kv_index.shape[0] == 1
     shared_counts = kv_count.shape[0] == 1
     if not shared and kv_index.shape[0] != h:

@@ -183,6 +183,11 @@ def sta_flash_headbatched(
     if sq % block_q or skv % block_kv:
         raise ValueError(f"seq lens ({sq},{skv}) not divisible by blocks ({block_q},{block_kv})")
     nq = sq // block_q
+    if d % 128 and not interpret:
+        raise ValueError(
+            f"head_dim {d} must be a multiple of 128 (TPU lane width) for the "
+            "manual-DMA kernels; use interpret mode or the XLA reference path"
+        )
     if scale is None:
         scale = d**-0.5
     subtile = None
