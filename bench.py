@@ -17,7 +17,6 @@ router.
 """
 
 import json
-import sys
 import time
 
 import jax

@@ -8,8 +8,6 @@ and the timestep embedding is the flip_sin_to_cos sinusoid used by diffusers.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import nnx

@@ -14,8 +14,6 @@ in io/torch_import once checkpoints are available.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,7 +17,7 @@ verify against a real checkpoint once importable in this environment).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,16 +11,13 @@ layouts differ.  Soft routing (training) weights all three outputs by the
 router scores; hard routing (inference) one-hots the scores with a
 ``tau_sparse`` confidence fallback to full attention.
 
-v1 note: hard routing currently evaluates every expert on every head and
-selects — numerically identical to the reference's per-head dispatch, but
-without the compute savings.  The fused per-head-table kernel path (one
-kernel call whose tables select the expert per head) replaces this; the
-kernel already supports per-head tables.
+Hard routing dispatches per head through ops/routed_fused (participation-
+masked kernels); "hard_ref" keeps the evaluate-everything-and-select
+formulation as the fused path's oracle.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import AttentionConfig
-from ..geometry import cdiv, sta_tile_mask, expand_tile_mask
+from ..geometry import cdiv, sta_tile_mask
 from .attention_ref import attention_chunked
 from .coreset import pool_by_similarity, unpool_by_similarity
 from .experts import FULL, LOWRES, STA, lowres_groups_for

@@ -238,15 +238,20 @@ def fused_routed_attention(
         from .sta_batched import sta_flash_headbatched
 
         active = expert_id == STA
+        # pack routed heads into the leading head groups: the kernel skips
+        # fully-inactive groups, so compute scales with the routed head count
+        # (rounded up to the group size) instead of all H
+        perm = jnp.argsort(~active)  # active heads first, stable
+        inv_perm = jnp.argsort(perm)
         shape, tile = cfg.latent_shape, cfg.sta_tile
         call = geo.sta
         out_t = sta_flash_headbatched(
-            _pad_to(tile_sequence(q, shape, tile), call.q_pad),
-            _pad_to(tile_sequence(k, shape, tile), call.kv_pad),
-            _pad_to(tile_sequence(v, shape, tile), call.kv_pad),
+            _pad_to(jnp.take(tile_sequence(q, shape, tile), perm, axis=1), call.q_pad),
+            _pad_to(jnp.take(tile_sequence(k, shape, tile), perm, axis=1), call.kv_pad),
+            _pad_to(jnp.take(tile_sequence(v, shape, tile), perm, axis=1), call.kv_pad),
             jnp.asarray(call.kv_index),
             jnp.asarray(call.kv_count),
-            active,
+            jnp.take(active, perm),
             pair_bits=jnp.asarray(call.pair_bits),
             tokens_per_tile=geo.tokens_per_tile,
             scale=scale,
@@ -254,6 +259,7 @@ def fused_routed_attention(
             block_kv=call.block_kv,
             interpret=interpret,
         )[:, :, :s]
+        out_t = jnp.take(out_t, inv_perm, axis=1)
         return untile_sequence(out_t, shape, tile)
 
     out = guarded(expert_id == FULL, full_branch)

@@ -60,7 +60,12 @@ def _kernel(
     g = pl.program_id(1)  # head group
     i = pl.program_id(2)
     hg = num_heads  # heads per group (block shape)
-    count = kv_count_ref[0, i]
+    # skip DMA + compute for head groups with no routed head (callers sort
+    # active heads first, so inactive groups are contiguous at the end)
+    group_any = active_ref[g * hg]
+    for hi in range(1, hg):
+        group_any = group_any | active_ref[g * hg + hi]
+    count = jnp.where(group_any > 0, kv_count_ref[0, i], 0)
 
     def kv_dma(slot, j):
         blk = kv_index_ref[0, i, j]

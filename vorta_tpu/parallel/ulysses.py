@@ -18,7 +18,6 @@ pattern under SP; we fix rather than replicate that.)
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def all_to_all_heads_to_seq(x: jax.Array, axis: str = "sp") -> jax.Array:
