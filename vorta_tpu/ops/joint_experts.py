@@ -251,19 +251,30 @@ def joint_sta_attention(
     layout = joint_layouts(jcfg)["sta"]
     h = qv.shape[1]
     shape, tile = cfg.latent_shape, cfg.sta_tile
-    q = _assemble(tile_sequence(qv, shape, tile), qt, layout)
-    k = _assemble(tile_sequence(kv_, shape, tile), kt, layout)
-    v = _assemble(tile_sequence(vv, shape, tile), vt, layout)
-    idx, cnt, bits = _joint_sta_tables(jcfg)
     if active is None:
         active = jnp.ones((h,), bool)
+    # pack routed heads into leading head groups so the kernel can skip
+    # fully-inactive groups (compute scales with the routed head count)
+    perm = jnp.argsort(~active)
+    inv_perm = jnp.argsort(perm)
+
+    def prep(video, text):
+        return jnp.take(
+            _assemble(tile_sequence(video, shape, tile), text, layout), perm, axis=1
+        )
+
+    q = prep(qv, qt)
+    k = prep(kv_, kt)
+    v = prep(vv, vt)
+    idx, cnt, bits = _joint_sta_tables(jcfg)
     bias = _bias(text_mask, layout, cfg.seq_len)
     out = sta_flash_headbatched(
-        q, k, v, jnp.asarray(idx), jnp.asarray(cnt), active,
+        q, k, v, jnp.asarray(idx), jnp.asarray(cnt), jnp.take(active, perm),
         pair_bits=jnp.asarray(bits), tokens_per_tile=cfg.tokens_per_tile,
         kv_bias=bias, scale=scale,
         block_q=layout.block_q, block_kv=layout.block_kv, interpret=interpret,
     )
+    out = jnp.take(out, inv_perm, axis=1)
     tiled_out, text_out = _split(out, layout, cfg.seq_len, jcfg.text_len)
     return untile_sequence(tiled_out, shape, tile), text_out
 
