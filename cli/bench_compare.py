@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Baseline-vs-routed comparison protocol (reference README.md:36-69).
+
+Generates latents with full 3D attention and with routed sparse attention
+from the SAME initial noise and conditioning, then reports per-variant
+wall-clock and the PSNR between the two samples — the quality-vs-speed
+trade the router training optimizes.  With trained routers, routed PSNR vs
+baseline should be high; with random routers this mostly exercises the
+protocol.
+
+  python cli/bench_compare.py --model wan-1_3B --num_frames 77 \
+      --height 720 --width 1280 --num_inference_steps 10
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    peak = float(max(np.abs(a).max(), np.abs(b).max()))
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="wan-1_3B",
+                   choices=["wan-1_3B", "wan-14B", "wan-tiny"])
+    p.add_argument("--torch_checkpoint", default=None)
+    p.add_argument("--router_checkpoint", default=None)
+    p.add_argument("--resume_dir", default=None)
+    p.add_argument("--num_frames", type=int, default=77)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--num_inference_steps", type=int, default=10)
+    p.add_argument("--guidance_scale", type=float, default=5.0)
+    p.add_argument("--flow_shift", type=float, default=5.0)
+    p.add_argument("--tau_sparse", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--output_dir", default="results/compare")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from vorta_tpu.config import WAN_1_3B, WAN_14B, WAN_TINY, AttentionConfig
+    from vorta_tpu.geometry import WAN_GEOMETRY
+    from vorta_tpu.models.wan import WanModel
+    from vorta_tpu.pipelines.wan_t2v import SamplingConfig, WanT2VPipeline
+
+    interpret = jax.default_backend() != "tpu"
+    model_cfg = {"wan-1_3B": WAN_1_3B, "wan-14B": WAN_14B, "wan-tiny": WAN_TINY}[args.model]
+    grid = WAN_GEOMETRY.tokens((args.num_frames, args.height, args.width))
+    if args.resume_dir and (Path(args.resume_dir) / "config.json").exists():
+        attn_cfg = AttentionConfig.load(Path(args.resume_dir) / "config.json")
+    elif args.model == "wan-tiny":
+        attn_cfg = AttentionConfig(
+            latent_shape=grid, sta_window=(3, 3, 1), sta_tile=(2, 2, 2),
+            lowres_window=(2, 2, 2), block_q=16, block_kv=16,
+            sta_block_q=8, sta_block_kv=8, tau_sparse=args.tau_sparse,
+        )
+    else:
+        # flagship geometry (reference train.sh): STA tile [5,9,8] at 720p
+        tile = (5, 9, 8) if grid[1] % 9 == 0 and grid[2] % 8 == 0 else (4, 6, 4)
+        attn_cfg = AttentionConfig(
+            latent_shape=grid, sta_window=(3, 3, 3), sta_tile=tile,
+            lowres_window=(2, 3, 2), tau_sparse=args.tau_sparse,
+        )
+
+    dtype = jnp.float32 if args.model == "wan-tiny" else jnp.bfloat16
+    model = WanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
+    if args.torch_checkpoint:
+        from vorta_tpu.io.torch_import import load_wan_torch_weights
+
+        load_wan_torch_weights(model, args.torch_checkpoint)
+    if args.router_checkpoint:
+        from vorta_tpu.io.torch_import import load_router_torch_checkpoint
+
+        load_router_torch_checkpoint(model, args.router_checkpoint)
+
+    pipe = WanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
+    noise = pipe.prepare_latents(
+        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
+    )
+    pe = jax.random.normal(
+        jax.random.PRNGKey(args.seed + 1), (1, model_cfg.text_len, model_cfg.text_dim)
+    )
+    ne = jnp.zeros_like(pe)
+
+    out_dir = Path(args.output_dir)
+    results = {}
+    for name, mode in (("baseline", "off"), ("vorta", "hard")):
+        sampling = SamplingConfig(
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            flow_shift=args.flow_shift,
+            routing_mode=mode,
+        )
+        # the fixed-seed sample (for the PSNR comparison)
+        latents, _ = pipe(noise, pe, ne, sampling=sampling)
+        latents.block_until_ready()
+        (out_dir / name).mkdir(parents=True, exist_ok=True)
+        np.save(out_dir / name / "latents.npy", np.asarray(latents))
+        # timing uses FRESH noise: the remote TPU tunnel value-caches
+        # identical dispatches across processes, so repeated fixed-seed runs
+        # return instantly and would fake the wall-clock
+        import jax as _jax
+
+        fresh = pipe.prepare_latents(
+            _jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF),
+            1, args.num_frames, args.height, args.width,
+        )
+        t0 = time.time()
+        out, _ = pipe(fresh, pe, ne, sampling=sampling)
+        out.block_until_ready()
+        dt = time.time() - t0
+        results[name] = {"seconds": round(dt, 2),
+                         "s_per_step": round(dt / args.num_inference_steps, 3)}
+        print(f"[{name}] {dt:.2f}s ({dt / args.num_inference_steps:.2f}s/step)", flush=True)
+
+    a = np.load(out_dir / "baseline" / "latents.npy")
+    b = np.load(out_dir / "vorta" / "latents.npy")
+    results["psnr_vorta_vs_baseline_db"] = round(psnr(a, b), 2)
+    results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
+    (out_dir / "summary.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
