@@ -32,12 +32,15 @@ class Matching(NamedTuple):
     """Per-(batch, head, group) kept-margin selection from the similarity sort.
 
     ``kept`` indexes the margin-slot axis (0..M-1), ascending by cosine
-    similarity to the center (least similar first); ``onehot`` is its
-    (B, H, G, U, M) one-hot expansion, shared by pool and unpool.
+    similarity to the center (least similar first); ``onehot`` is the
+    (B, H, G, U, group_size) one-hot expansion over GROUP slots (center slot
+    never selected), shared by pool and unpool.  Stored in the input dtype:
+    0/1 values are exact in bf16 and the selection einsums accumulate in f32,
+    so no f32 copies of the (big) grouped tensors are ever materialized.
     """
 
-    kept: jax.Array  # (B, H, G, U) int32
-    onehot: jax.Array  # (B, H, G, U, M) f32
+    kept: jax.Array  # (B, H, G, U) int32 — margin-axis indices
+    onehot: jax.Array  # (B, H, G, U, group_size)
 
 
 def _group_layout(x: jax.Array, groups: LowresGroups, window_shape, latent_shape):
@@ -65,20 +68,6 @@ def _geometry(groups: LowresGroups):
     return groups._geom  # type: ignore[attr-defined]
 
 
-def _split_center(grouped: jax.Array, center_slot: int):
-    """(..., group_size, D) -> center (..., D), margins (..., M, D)."""
-    center = grouped[..., center_slot, :]
-    margins = jnp.concatenate(
-        [grouped[..., :center_slot, :], grouped[..., center_slot + 1 :, :]], axis=-2
-    )
-    return center, margins
-
-
-def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
-    return x / jnp.maximum(norm, eps)
-
-
 def pool_by_similarity(
     x: jax.Array,
     groups: LowresGroups,
@@ -98,24 +87,37 @@ def pool_by_similarity(
     b, h, _, d = x.shape
     g = groups.num_groups
     u = groups.num_kept_margins
-    m = groups.group_size - 1
+    gs = groups.group_size
+    cs = geom.center_slot
 
     grouped = _group_layout(x, groups, geom.window, geom.latent_shape)
-    centers, margins = _split_center(grouped, geom.center_slot)
+    centers = grouped[..., cs, :]  # (B, H, G, D)
 
     if matching is None:
-        sim = jnp.einsum(
-            "bhgd,bhgmd->bhgm",
-            _l2_normalize(centers.astype(jnp.float32)),
-            _l2_normalize(margins.astype(jnp.float32)),
+        # Cosine RANKING only needs sim ∝ (c·m)/||m||: the center norm scales
+        # every margin of a group equally, so dividing by it cannot change the
+        # order.  Two einsums with f32 accumulation — the grouped tensor is
+        # read twice but never cast/copied to f32.
+        dot = jnp.einsum(
+            "bhgd,bhgsd->bhgs", centers, grouped, preferred_element_type=jnp.float32
         )
+        sq = jnp.einsum(
+            "bhgsd,bhgsd->bhgs", grouped, grouped, preferred_element_type=jnp.float32
+        )
+        sim = dot * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        # center excluded from selection: most-similar sentinel sorts it last
+        sim = sim.at[..., cs].set(jnp.inf)
         # least similar first == largest negative similarity first
-        _, kept = jax.lax.top_k(-sim, u)
-        onehot = jax.nn.one_hot(kept, m, dtype=jnp.float32)  # (B,H,G,U,M)
+        _, kept_slots = jax.lax.top_k(-sim, u)  # (B,H,G,U) over group slots
+        kept = (kept_slots - (kept_slots > cs)).astype(jnp.int32)  # margin axis
+        onehot = jax.nn.one_hot(kept_slots, gs, dtype=x.dtype)  # (B,H,G,U,gs)
         matching = Matching(kept=kept, onehot=onehot)
 
     kept_vals = jnp.einsum(
-        "bhgum,bhgmd->bhgud", matching.onehot, margins.astype(jnp.float32)
+        "bhgus,bhgsd->bhgud",
+        matching.onehot.astype(x.dtype),
+        grouped,
+        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     pooled = jnp.concatenate([centers, kept_vals.reshape(b, h, g * u, d)], axis=2)
     return pooled, matching
@@ -135,22 +137,19 @@ def unpool_by_similarity(
     b, h, p, d = pooled.shape
     g = groups.num_groups
     u = groups.num_kept_margins
-    m = groups.group_size - 1
     if p != groups.pooled_length:
         raise ValueError(f"pooled length {p} != expected {groups.pooled_length}")
 
-    centers = pooled[:, :, :g].astype(jnp.float32)  # (B, H, G, D)
-    kept_vals = pooled[:, :, g:].reshape(b, h, g, u, d).astype(jnp.float32)
+    centers = pooled[:, :, :g]  # (B, H, G, D)
+    kept_vals = pooled[:, :, g:].reshape(b, h, g, u, d)
+    onehot = matching.onehot.astype(pooled.dtype)
 
-    # margins_out[m] = sum_u onehot[u, m] * kept[u]  (+ center where no kept)
-    margins_out = jnp.einsum("bhgum,bhgud->bhgmd", matching.onehot, kept_vals)
-    kept_mask = jnp.sum(matching.onehot, axis=-2)[..., None]  # (B,H,G,M,1)
-    margins_out = margins_out + (1.0 - kept_mask) * centers[:, :, :, None, :]
-
-    cs = geom.center_slot
-    grouped = jnp.concatenate(
-        [margins_out[:, :, :, :cs], centers[:, :, :, None], margins_out[:, :, :, cs:]],
-        axis=-2,
-    )
+    # slot s gets its kept value if selected, else the group center (the
+    # center slot itself is never selected, so it gets the center).  All
+    # arithmetic is exact 0/1 selection, safe in the input dtype — no f32
+    # copies of the full-length tensor
+    slots = jnp.einsum("bhgus,bhgud->bhgsd", onehot, kept_vals)
+    kept_mask = jnp.sum(onehot, axis=-2)[..., None]  # (B,H,G,gs,1)
+    grouped = slots + (1 - kept_mask) * centers[:, :, :, None, :]
     out = _ungroup_layout(grouped, groups, geom.window, geom.latent_shape)
-    return out.astype(pooled.dtype)
+    return out

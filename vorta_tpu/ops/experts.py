@@ -144,7 +144,13 @@ def sta_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, cfg: AttentionConfig,
     scale: Optional[float] = None, interpret: bool = False,
 ) -> jax.Array:
-    """Expert 2: sliding-tile attention over the tile-contiguous layout."""
+    """Expert 2: sliding-tile attention over the tile-contiguous layout.
+
+    This is the DIFFERENTIABLE path (training soft-routing, and the oracle
+    for the fused hard path); inference hard routing instead dispatches to
+    the zero-relayout window-dense kernel (ops/sta_window.py) via
+    ops/routed_fused.
+    """
     bq, bkv = cfg.sta_blocks
     shape, tile = cfg.latent_shape, cfg.sta_tile
     tq = tile_sequence(q, shape, tile)

@@ -31,6 +31,7 @@ from .coreset import pool_by_similarity, unpool_by_similarity
 from .experts import FULL, LOWRES, STA, lowres_groups_for
 from .flash_manual import sparse_flash_attention_manual
 from .layout import tile_sequence, untile_sequence
+from .sta_window import sta_window_attention, supports_window_dense
 
 
 class ExpertCall(NamedTuple):
@@ -235,15 +236,24 @@ def fused_routed_attention(
         return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
 
     def sta_branch():
+        active = expert_id == STA
+        shape, tile = cfg.latent_shape, cfg.sta_tile
+        if supports_window_dense(shape, tile):
+            # window-dense kernel: reads the clamped 3D window straight out
+            # of raster-order K/V via box DMAs — no tile relayout, no pair
+            # bits, per-head skip of unrouted heads (no packing permutes)
+            return sta_window_attention(
+                q, k, v, active,
+                latent_shape=shape, tile=tile, window=cfg.sta_window,
+                scale=scale, interpret=interpret,
+            )
         from .sta_batched import sta_flash_headbatched
 
-        active = expert_id == STA
-        # pack routed heads into the leading head groups: the kernel skips
-        # fully-inactive groups, so compute scales with the routed head count
-        # (rounded up to the group size) instead of all H
+        # fallback (tile_w not 8-aligned): tiled layout + pair-bit kernel;
+        # pack routed heads into the leading head groups so fully-inactive
+        # groups skip
         perm = jnp.argsort(~active)  # active heads first, stable
         inv_perm = jnp.argsort(perm)
-        shape, tile = cfg.latent_shape, cfg.sta_tile
         call = geo.sta
         out_t = sta_flash_headbatched(
             _pad_to(jnp.take(tile_sequence(q, shape, tile), perm, axis=1), call.q_pad),

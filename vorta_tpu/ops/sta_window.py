@@ -1,0 +1,295 @@
+"""Window-dense sliding-tile attention (kernel v4 — zero-relayout).
+
+Sliding-tile attention with a center-clamped window is per-q-tile DENSE: every
+query tile attends to exactly its prod(window) neighbour tiles, all of whose
+tokens are fully visible (the reference mask is tile-granular —
+vorta/attention/sliding_attn_flex.py:101-128).  Earlier kernels flattened the
+sequence to tile-contiguous order and masked sub-tile visibility with pair
+bits; the flatten/unflatten relayouts and the per-block VPU masking were ~45%
+of the measured STA time at 720p.
+
+This kernel instead reads the window straight out of RASTER-order K/V with
+strided box DMAs over a (B, H, T, Hh, W, D) view (a free reshape of the model
+tensor), so there is no sequence relayout anywhere and no in-kernel masking at
+all: per grid cell = one (batch, head-group, q-tile), the window streams
+through VMEM in (heads, tile_t, tile_h, window_w·tile_w) chunks and each chunk
+is a pure dense flash-attention step, batched over the group's heads (batched
+dots have no inter-head dependency, which keeps the MXU pipeline full — the
+single-head variant measured only 62% MXU utilization from dependency stalls).
+
+Mosaic constraints honored (probed on real TPU, tools/test_boxdma.py):
+  * box DMA offsets/sizes on the second-to-last dim (W) must be multiples of
+    the 8-sublane tiling -> requires ``tile_w % 8 == 0`` (the flagship
+    geometries: Wan 720p tile [5,9,8], Hunyuan [6,8,8]); other geometries
+    fall back to the tiled-layout kernel (ops/sta_batched.py)
+  * VMEM chunk reshape (hg, tt, th, ww, D) -> (hg, tt*th*ww, D) is free only
+    when the merged sublane dim stays 8-aligned (ww = win_w*tile_w)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-1e30)
+LOG2E = 1.4426950408889634
+
+Shape3 = Tuple[int, int, int]
+
+
+def window_starts(latent_shape: Shape3, tile: Shape3, window: Shape3) -> np.ndarray:
+    """(n_tiles, 3) int32 ELEMENT offsets of each q tile's clamped window box.
+
+    Per axis: start_tile = clip(q_tile - win//2, 0, n - win_eff) with
+    win_eff = min(win, n) — identical to geometry.sta_tile_mask clamping.
+    """
+    nt = tuple(latent_shape[i] // tile[i] for i in range(3))
+    starts = np.zeros((nt[0] * nt[1] * nt[2], 3), np.int32)
+    idx = 0
+    for ti in range(nt[0]):
+        for hi in range(nt[1]):
+            for wi in range(nt[2]):
+                for ax, q in enumerate((ti, hi, wi)):
+                    win_eff = min(window[ax], nt[ax])
+                    s = min(max(q - window[ax] // 2, 0), nt[ax] - win_eff)
+                    starts[idx, ax] = s * tile[ax]
+                idx += 1
+    return starts
+
+
+def _kernel(
+    starts_ref,  # (n_tiles, 3) int32 element offsets, SMEM
+    active_ref,  # (H,) int32
+    q_ref,  # (1, hg, tt, th, tw, D)
+    k_hbm,  # (B, H, T, Hh, W, D) raster
+    v_hbm,
+    out_ref,  # (1, hg, tt, th, tw, D)
+    m_s,  # (hg, tpt, 1) f32
+    l_s,
+    acc_s,  # (hg, tpt, D) f32
+    k_buf,  # (2, hg, tt, th, bw, D)
+    v_buf,
+    dma_sems,  # (2, 2)
+    *,
+    scale: float,
+    tile: Shape3,
+    win_eff: Shape3,  # effective window in tiles per axis
+    hg: int,  # heads per grid cell
+    cast_p_to_v_dtype: bool,
+):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    i = pl.program_id(2)
+    tt, th, tw = tile
+    tpt = tt * th * tw
+    d = q_ref.shape[-1]
+    bw = win_eff[2] * tw  # whole w-window per chunk
+    n_chunks = win_eff[0] * win_eff[1]
+
+    t0 = starts_ref[i, 0]
+    h0 = starts_ref[i, 1]
+    w0 = pl.multiple_of(starts_ref[i, 2], 8)
+    # skip cells whose whole head group is inactive (callers pack routed
+    # heads first, so inactive groups are contiguous at the end)
+    group_any = active_ref[g * hg]
+    for hi in range(1, hg):
+        group_any = group_any | active_ref[g * hg + hi]
+
+    def chunk_dma(slot, j):
+        dt = j // win_eff[1]
+        dh = j - dt * win_eff[1]
+        k_copy = pltpu.make_async_copy(
+            k_hbm.at[
+                b, pl.ds(g * hg, hg),
+                pl.ds(t0 + dt * tt, tt), pl.ds(h0 + dh * th, th),
+                pl.ds(w0, bw), :,
+            ],
+            k_buf.at[slot],
+            dma_sems.at[slot, 0],
+        )
+        v_copy = pltpu.make_async_copy(
+            v_hbm.at[
+                b, pl.ds(g * hg, hg),
+                pl.ds(t0 + dt * tt, tt), pl.ds(h0 + dh * th, th),
+                pl.ds(w0, bw), :,
+            ],
+            v_buf.at[slot],
+            dma_sems.at[slot, 1],
+        )
+        return k_copy, v_copy
+
+    m_s[...] = jnp.full_like(m_s, NEG_INF)
+    l_s[...] = jnp.zeros_like(l_s)
+    acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(group_any > 0)
+    def _run():
+        kc, vc = chunk_dma(0, 0)
+        kc.start()
+        vc.start()
+
+        q = q_ref[0].reshape(hg, tpt, d)  # free: tw % 8 == 0
+
+        def body(j, _):
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_chunks)
+            def _prefetch():
+                kc, vc = chunk_dma(jax.lax.rem(j + 1, 2), j + 1)
+                kc.start()
+                vc.start()
+
+            kc, vc = chunk_dma(slot, j)
+            kc.wait()
+            vc.wait()
+
+            k = k_buf[slot].reshape(hg, tt * th * bw, d)
+            v = v_buf[slot].reshape(hg, tt * th * bw, d)
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (hg, tpt, N)
+            s = s * (scale * LOG2E)
+
+            m_prev = m_s[...]
+            l_prev = l_s[...]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_s[...] = m_new
+            if cast_p_to_v_dtype and v.dtype != jnp.float32:
+                p = p.astype(v.dtype)
+            acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+                p, v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    l = l_s[...]
+    out = acc_s[...] / jnp.where(l == 0.0, 1.0, l)
+    # zero non-routed heads (SMEM scalar loads only -> static per-head loop)
+    for hi in range(hg):
+        a = (active_ref[g * hg + hi] > 0).astype(jnp.float32)
+        out_ref[0, hi] = (out[hi] * a).reshape(out_ref.shape[2:]).astype(out_ref.dtype)
+
+
+def supports_window_dense(latent_shape: Shape3, tile: Shape3) -> bool:
+    """Mosaic box-DMA + free-reshape constraints for this geometry."""
+    t, h, w = latent_shape
+    tt, th, tw = tile
+    if t % tt or h % th or w % tw:
+        return False
+    return tw % 8 == 0
+
+
+def _heads_per_cell(h: int, tpt: int, bw_chunk: int, d: int, itemsize: int) -> int:
+    """Heads per grid cell.  Measured on v5e: batching heads does NOT improve
+    throughput (the per-chunk MXU->VPU->MXU dependency chain dominates either
+    way), while hg=1 gives per-HEAD skip granularity for routing — inactive
+    heads cost one empty grid cell instead of a third of a group.  Keep 1."""
+    return 1
+
+
+def sta_window_attention(
+    q: jax.Array,  # (B, H, S, D) RASTER order
+    k: jax.Array,
+    v: jax.Array,
+    active: jax.Array,  # (H,) bool/int — heads routed to STA
+    *,
+    latent_shape: Shape3,
+    tile: Shape3,
+    window: Shape3 = (3, 3, 3),
+    scale: Optional[float] = None,
+    cast_p_to_v_dtype: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Sliding-tile attention over raster-order inputs; inactive heads output
+    zeros (participation-mask contract of ops/routed_fused)."""
+    b, n_heads, s, d = q.shape
+    t, hh, w = latent_shape
+    if s != t * hh * w:
+        raise ValueError(f"seq len {s} != prod(latent_shape) {latent_shape}")
+    if not supports_window_dense(latent_shape, tile):
+        raise ValueError(
+            f"geometry (latent {latent_shape}, tile {tile}) unsupported: "
+            "tile_w must be a multiple of 8 and tiles must divide the grid"
+        )
+    if d % 128 and not interpret:
+        raise ValueError(f"head_dim {d} must be a multiple of 128 on TPU")
+    if scale is None:
+        scale = d**-0.5
+    tt, th, tw = tile
+    nt, nh, nw = t // tt, hh // th, w // tw
+    n_tiles = nt * nh * nw
+    win_eff = (min(window[0], nt), min(window[1], nh), min(window[2], nw))
+    bw = win_eff[2] * tw
+    tpt = tt * th * tw
+    hg = _heads_per_cell(n_heads, tpt, tt * th * bw, d, q.dtype.itemsize)
+    n_groups = n_heads // hg
+
+    starts = jnp.asarray(window_starts(latent_shape, tile, window))
+    q6 = q.reshape(b, n_heads, t, hh, w, d)
+    k6 = k.reshape(b, n_heads, t, hh, w, d)
+    v6 = v.reshape(b, n_heads, t, hh, w, d)
+
+    kernel = functools.partial(
+        _kernel,
+        scale=float(scale),
+        tile=tile,
+        win_eff=win_eff,
+        hg=hg,
+        cast_p_to_v_dtype=cast_p_to_v_dtype,
+    )
+
+    def q_map(bb, gg, ii, *refs):
+        ti = ii // (nh * nw)
+        rem = ii - ti * (nh * nw)
+        hi = rem // nw
+        wi = rem - hi * nw
+        return (bb, gg, ti, hi, wi, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_groups, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, hg, tt, th, tw, d), q_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hg, tt, th, tw, d), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((hg, tpt, 1), jnp.float32),
+            pltpu.VMEM((hg, tpt, 1), jnp.float32),
+            pltpu.VMEM((hg, tpt, d), jnp.float32),
+            pltpu.VMEM((2, hg, tt, th, bw, d), k.dtype),
+            pltpu.VMEM((2, hg, tt, th, bw, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    n_chunks = win_eff[0] * win_eff[1]
+    out6 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q6.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * n_heads * n_tiles * n_chunks * 4 * tpt * tt * th * bw * d),
+            bytes_accessed=int(q.size * q.dtype.itemsize * 3),
+            transcendentals=int(b * n_heads * s * n_chunks),
+        ),
+        interpret=interpret,
+    )(starts, active.astype(jnp.int32), q6, k6, v6)
+    return out6.reshape(b, n_heads, s, d)
