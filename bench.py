@@ -2,21 +2,25 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <routed forward ms>, "unit": "ms",
-   "vs_baseline": <full_ms / routed_ms speedup>}
+   "vs_baseline": <full_ms / routed_ms speedup>, ...}
 
 Protocol mirrors the reference's baseline-vs-vorta wall-clock comparison
 (README.md:36-69): same model, same shapes, full 3D attention vs hard-routed
-sparse attention.  Runs on whatever jax.default_backend() provides (the real
-TPU chip under the driver); uses scan-inside-jit timing because per-dispatch
-tunnel latency would otherwise dominate.
+sparse attention **with a router trained by the reference recipe** (100
+steps, lr 1e-2, reg 0.02, last-distill 20.0 — scripts/wan/train.sh:5-26;
+reproduced by tools/train_bench_router.py, checkpoint committed under
+assets/).  The reference benchmarks routed inference from a trained
+router.pt the same way; a random-init router's expert mix is arbitrary, so
+it is reported only as a secondary number (vs_baseline_random_router).
 
-Config: Wan2.1-T2V-1.3B shapes at 480p x 77 frames (latent grid 20x30x52,
-31200 tokens), bf16, random weights.  Routing scores come from the (random)
-routers at a mid-schedule timestep — representative sparsity, not a trained
-router.
+Config: Wan2.1-T2V-1.3B shapes at 720p x 77 frames (latent grid 20x45x80,
+72000 tokens), bf16, random weights.  Runs on whatever jax.default_backend()
+provides (the real TPU chip under the driver); uses scan-inside-jit timing
+because per-dispatch tunnel latency would otherwise dominate.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -26,9 +30,12 @@ from flax import nnx
 
 from vorta_tpu.config import WAN_1_3B, AttentionConfig
 
+ROUTER_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "assets", "bench_router_wan1_3b.npz")
 
-def device_seconds(fn, *args, iters: int = 4) -> float:
-    """Median per-iteration device time of fn, amortizing dispatch latency."""
+
+def device_seconds(fn, *args, iters: int = 2) -> float:
+    """Per-iteration device time of fn, amortizing dispatch latency."""
 
     @jax.jit
     def run(*args):
@@ -45,6 +52,26 @@ def device_seconds(fn, *args, iters: int = 4) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def load_router_npz(router_state, path):
+    """Merge tools/train_bench_router.py's npz into a router state pytree."""
+    data = np.load(path)
+    flat = jax.tree_util.tree_flatten_with_path(router_state)
+    loaded = 0
+    leaves = []
+    for key_path, leaf in flat[0]:
+        key = jax.tree_util.keystr(key_path)
+        if key in data.files:
+            arr = jnp.asarray(data[key], dtype=leaf.dtype)
+            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+            leaves.append(arr)
+            loaded += 1
+        else:
+            leaves.append(leaf)
+    if loaded == 0:
+        raise ValueError(f"no router keys matched in {path}")
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
 def main():
     interpret = jax.default_backend() != "tpu"
     if interpret:
@@ -56,6 +83,7 @@ def main():
         return
 
     from vorta_tpu.models.wan import WanModel
+    from vorta_tpu.training.step import router_partition
 
     # Reference flagship geometry: Wan 720p x 77f -> latent grid (20, 45, 80)
     # = 72000 tokens, STA tile [5, 9, 8] (train.sh), lowres window [2, 3, 2].
@@ -70,8 +98,14 @@ def main():
         block_kv=1024,
         tau_sparse=0.3,
     )
-    model = WanModel(WAN_1_3B, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
-    graphdef, state = nnx.split(model)
+    model = WanModel(WAN_1_3B, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                     rngs=nnx.Rngs(0))
+    graphdef, router_state, frozen_state = router_partition(model)
+    random_router_state = router_state
+    trained = False
+    if os.path.exists(ROUTER_CKPT):
+        router_state = load_router_npz(router_state, ROUTER_CKPT)
+        trained = True
 
     b = 1
     latents = jax.random.normal(
@@ -81,14 +115,19 @@ def main():
         jax.random.PRNGKey(1), (b, WAN_1_3B.text_len, WAN_1_3B.text_dim), jnp.bfloat16
     )
 
-    def fwd(c, i, state, mode):
-        m = nnx.merge(graphdef, state)
+    # all big tensors ride as jit ARGS: closure constants would be baked into
+    # the compile request (the frozen DiT state alone is ~2.9GB)
+    def fwd(c, i, rstate, fstate, lat, ctx, mode):
+        m = nnx.merge(graphdef, rstate, fstate)
         t = jnp.full((b,), 500.0) + i.astype(jnp.float32)  # vary per iter
-        out = m(latents, t, context, attn_cfg=attn, routing_mode=mode)
+        out = m(lat, t, ctx, attn_cfg=attn, routing_mode=mode)
         return c + out.sample.astype(jnp.float32).mean()
 
-    full_s = device_seconds(lambda c, i, s: fwd(c, i, s, "off"), state, iters=2)
-    routed_s = device_seconds(lambda c, i, s: fwd(c, i, s, "hard"), state, iters=2)
+    args = (frozen_state, latents, context)
+    full_s = device_seconds(
+        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "off"), router_state, *args)
+    routed_s = device_seconds(
+        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"), router_state, *args)
 
     result = {
         "metric": "wan1.3b_720p_77f_denoise_fwd_ms_routed",
@@ -96,7 +135,14 @@ def main():
         "unit": "ms",
         "vs_baseline": round(full_s / routed_s, 4),
         "full_ms": round(full_s * 1e3, 2),
+        "router": "trained-100step-reference-recipe" if trained else "random-init",
     }
+    if trained:
+        random_s = device_seconds(
+            lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"),
+            random_router_state, *args)
+        result["routed_ms_random_router"] = round(random_s * 1e3, 2)
+        result["vs_baseline_random_router"] = round(full_s / random_s, 4)
     print(json.dumps(result), flush=True)
 
 

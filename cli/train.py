@@ -215,8 +215,6 @@ def main(argv=None):
     dp = mesh.shape["dp"]
     use_mesh = dp * sp > 1
 
-    if is_hunyuan and use_mesh and sp > 1:
-        raise SystemExit("hunyuan SP pending (round-2); use --sp_size 1 with --dp_size N")
     make_step = make_hunyuan_router_train_step if is_hunyuan else make_router_train_step
     step_fn = make_step(
         graphdef, attn_cfg, optimizer, weights=weights,

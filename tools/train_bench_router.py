@@ -1,0 +1,138 @@
+"""Train the benchmark router checkpoint with the reference recipe.
+
+The reference's benchmark protocol measures routed inference with a router
+trained for 100 optimizer steps (scripts/wan/train.sh:5-26: lr 1e-2, reg
+0.02, last-layer distill 20.0, grad-accum 4).  This tool reproduces that
+protocol for the bench model (Wan-1.3B shapes, random-initialized weights —
+no pretrained checkpoints exist in this environment) on synthetic latents at
+a small token grid, then saves the per-block router parameters to
+``assets/bench_router_wan1_3b.npz`` for bench.py to load.
+
+Routers take only the timestep embedding as input (reference router.py:17-43)
+so the learned routing is geometry-independent; the learned expert mix is
+what a real run of the reference recipe produces for THIS model's weights.
+
+Run: python tools/train_bench_router.py [--steps 100] [--out assets/...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from vorta_tpu.config import WAN_1_3B, AttentionConfig
+from vorta_tpu.models.wan import WanModel
+from vorta_tpu.schedulers.flow_match import train_sigmas
+from vorta_tpu.training.step import (
+    LossWeights,
+    make_optimizer,
+    make_router_train_step,
+    router_partition,
+)
+
+
+def flatten_state(state):
+    flat = jax.tree_util.tree_flatten_with_path(state)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in flat}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--accum", type=int, default=2, help="batch per step (HBM-bounded)")
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--out", default="assets/bench_router_wan1_3b.npz")
+    ap.add_argument("--latent", type=int, nargs=3, default=(4, 12, 16))
+    args = ap.parse_args()
+
+    interpret = jax.default_backend() != "tpu"
+    # training geometry: small grid, same tile/window family as 720p
+    attn = AttentionConfig(
+        latent_shape=tuple(args.latent),
+        sta_window=(3, 3, 3),
+        sta_tile=(2, 3, 8),  # tw=8: window-dense family
+        lowres_window=(2, 3, 2),
+        block_q=512,
+        block_kv=512,
+        sta_block_q=48,
+        sta_block_kv=48,
+        tau_sparse=0.3,
+    )
+    model = WanModel(WAN_1_3B, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                     rngs=nnx.Rngs(0))
+    graphdef, router_state, frozen_state = router_partition(model)
+
+    sigmas = train_sigmas(shift=5.0)
+    optimizer = make_optimizer(lr=args.lr)
+    opt_state = optimizer.init(router_state)
+    step_fn = jax.jit(make_router_train_step(
+        graphdef, attn, optimizer, weights=LossWeights(),
+        timestep_table=sigmas * 1000.0, sigma_table=sigmas,
+        interpret=interpret,
+    ))
+
+    b = args.accum  # grad accum folded into the batch (frozen model, router-only)
+    t, hh, w = args.latent
+    key = jax.random.PRNGKey(42)
+    t0 = time.time()
+    for step in range(args.steps):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        latents = jax.random.normal(
+            k1, (b, t, hh * 2, w * 2, WAN_1_3B.in_channels), jnp.float32)
+        context = jax.random.normal(
+            k2, (b, WAN_1_3B.text_len, WAN_1_3B.text_dim), jnp.float32)
+        router_state, opt_state, metrics = step_fn(
+            router_state, frozen_state, opt_state, latents, context, k3)
+        if step % 10 == 0 or step == args.steps - 1:
+            print(f"step {step:4d} loss {float(metrics['loss']):.4f} "
+                  f"grad_norm {float(metrics['grad_norm']):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    np.savez(args.out, **flatten_state(router_state))
+    print(f"saved router params -> {args.out}")
+
+    # report the learned hard-routing expert mix across the timestep schedule
+    model = nnx.merge(graphdef, router_state, frozen_state)
+    from vorta_tpu.ops.experts import FULL, LOWRES, STA  # noqa: F401
+    from vorta_tpu.ops.routed_fused import route_expert_ids
+    from vorta_tpu.models.common import sinusoidal_timestep_embedding
+
+    names = {0: "full", 1: "lowres", 2: "sta"}
+    print("\nhard-routing mix by timestep (tau=0.3):")
+    block_graphdef, block_state = nnx.split(model.blocks)
+
+    @jax.jit
+    def mix_at(timestep):
+        emb = sinusoidal_timestep_embedding(timestep[None], WAN_1_3B.freq_dim)
+        temb = model.condition_embedder.time_embedder(emb)
+
+        def one_block(bstate):
+            block = nnx.merge(block_graphdef, bstate)
+            scores = block.router(temb)
+            return route_expert_ids(scores, 0.3)
+
+        ids = jax.vmap(one_block)(block_state)  # (L, H)
+        return jnp.stack([(ids == e).sum() for e in range(3)])
+
+    total = np.zeros(3, np.int64)
+    for ts in [999.0, 750.0, 500.0, 250.0, 50.0]:
+        counts = np.asarray(mix_at(jnp.asarray(ts, jnp.float32)))
+        total += counts
+        frac = counts / counts.sum()
+        print(f"  t={ts:6.0f}: " + "  ".join(
+            f"{names[e]} {frac[e] * 100:5.1f}%" for e in range(3)))
+    frac = total / total.sum()
+    print("  overall: " + "  ".join(
+        f"{names[e]} {frac[e] * 100:5.1f}%" for e in range(3)))
+
+
+if __name__ == "__main__":
+    main()

@@ -136,6 +136,35 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
 
 
+def _sp_joint_in(qv, kv_, vv, qt, kt, vt, scores, sp_axis):
+    """Ulysses reshard for joint attention: video q/k/v flip seq-shard ->
+    head-shard (full sequence per rank), replicated text q/k/v and routing
+    scores slice to the rank's local heads (reference choreography:
+    vorta/attention/hunyuan.py:153-187, via lax.all_to_all instead of NCCL)."""
+    from ..parallel.ulysses import all_to_all_heads_to_seq, slice_local
+
+    qv = all_to_all_heads_to_seq(qv, sp_axis)
+    kv_ = all_to_all_heads_to_seq(kv_, sp_axis)
+    vv = all_to_all_heads_to_seq(vv, sp_axis)
+    qt = slice_local(qt, dim=1, axis=sp_axis)
+    kt = slice_local(kt, dim=1, axis=sp_axis)
+    vt = slice_local(vt, dim=1, axis=sp_axis)
+    if scores is not None:
+        scores = slice_local(scores, dim=1, axis=sp_axis)
+    return qv, kv_, vv, qt, kt, vt, scores
+
+
+def _sp_joint_out(video, text, sp_axis):
+    """Inverse reshard: video back to (all heads, local frames); text output
+    all-gathered over the head axis so every rank holds the full text stream
+    (reference: vorta/attention/hunyuan.py:186-187)."""
+    from ..parallel.ulysses import all_to_all_seq_to_heads, gather_sequence
+
+    video = all_to_all_seq_to_heads(video, sp_axis)
+    text = gather_sequence(text, seq_axis=1, axis=sp_axis)  # head axis
+    return video, text
+
+
 class HunyuanJointAttention(nnx.Module):
     """Dual-stream joint attention (separate text projections)."""
 
@@ -156,7 +185,8 @@ class HunyuanJointAttention(nnx.Module):
         self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
         self.to_add_out = nnx.Linear(dim, dim, use_bias=True, **kw)
 
-    def __call__(self, x, ctx, rope, text_mask, jcfg, scores, routing_mode, interpret):
+    def __call__(self, x, ctx, rope, text_mask, jcfg, scores, routing_mode,
+                 interpret, sp_axis=None):
         h = self.num_heads
         qv = self.norm_q(_split_heads(self.to_q(x), h))
         kv_ = self.norm_k(_split_heads(self.to_k(x), h))
@@ -164,14 +194,20 @@ class HunyuanJointAttention(nnx.Module):
         qt = self.norm_added_q(_split_heads(self.add_q_proj(ctx), h))
         kt = self.norm_added_k(_split_heads(self.add_k_proj(ctx), h))
         vt = _split_heads(self.add_v_proj(ctx), h)
-        cos, sin = rope
+        cos, sin = rope  # local slices when sequence-parallel
         qv = apply_rope(qv, cos, sin)
         kv_ = apply_rope(kv_, cos, sin)
 
+        if sp_axis is not None:
+            qv, kv_, vv, qt, kt, vt, scores = _sp_joint_in(
+                qv, kv_, vv, qt, kt, vt, scores, sp_axis
+            )
         video, text = routed_joint_attention(
             qv, kv_, vv, qt, kt, vt, scores, text_mask, jcfg,
             mode=routing_mode, interpret=interpret,
         )
+        if sp_axis is not None:
+            video, text = _sp_joint_out(video, text, sp_axis)
         return self.to_out(_merge_heads(video)), self.to_add_out(_merge_heads(text))
 
 
@@ -188,7 +224,8 @@ class HunyuanSingleAttention(nnx.Module):
         self.norm_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
         self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
 
-    def __call__(self, x_joint, video_len, rope, text_mask, jcfg, scores, routing_mode, interpret):
+    def __call__(self, x_joint, video_len, rope, text_mask, jcfg, scores,
+                 routing_mode, interpret, sp_axis=None):
         h = self.num_heads
         q = self.norm_q(_split_heads(self.to_q(x_joint), h))
         k = self.norm_k(_split_heads(self.to_k(x_joint), h))
@@ -196,13 +233,19 @@ class HunyuanSingleAttention(nnx.Module):
         qv, qt = q[:, :, :video_len], q[:, :, video_len:]
         kv_, kt = k[:, :, :video_len], k[:, :, video_len:]
         vv, vt = v[:, :, :video_len], v[:, :, video_len:]
-        cos, sin = rope
+        cos, sin = rope  # local slices when sequence-parallel
         qv = apply_rope(qv, cos, sin)
         kv_ = apply_rope(kv_, cos, sin)
+        if sp_axis is not None:
+            qv, kv_, vv, qt, kt, vt, scores = _sp_joint_in(
+                qv, kv_, vv, qt, kt, vt, scores, sp_axis
+            )
         video, text = routed_joint_attention(
             qv, kv_, vv, qt, kt, vt, scores, text_mask, jcfg,
             mode=routing_mode, interpret=interpret,
         )
+        if sp_axis is not None:
+            video, text = _sp_joint_out(video, text, sp_axis)
         return _merge_heads(jnp.concatenate([video, text], axis=2))
 
 
@@ -222,7 +265,7 @@ class HunyuanDualBlock(nnx.Module):
         self.router = Router(dim, cfg.num_heads, rngs=rngs)
 
     def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
-                 routing_mode, interpret):
+                 routing_mode, interpret, sp_axis=None):
         sh, sc, gate, sh_mlp, sc_mlp, gate_mlp = self.norm1_mod(temb)
         csh, csc, cgate, csh_mlp, csc_mlp, cgate_mlp = self.norm1_context_mod(temb)
 
@@ -233,7 +276,8 @@ class HunyuanDualBlock(nnx.Module):
         norm_x = (self.norm1.fp32(x) * (1 + sc[:, None]) + sh[:, None]).astype(x.dtype)
         norm_c = (self.norm1_context.fp32(ctx) * (1 + csc[:, None]) + csh[:, None]).astype(ctx.dtype)
         attn_x, attn_c = self.attn(
-            norm_x, norm_c, rope, text_mask, jcfg, scores, routing_mode, interpret
+            norm_x, norm_c, rope, text_mask, jcfg, scores, routing_mode,
+            interpret, sp_axis,
         )
         x = (x.astype(jnp.float32) + attn_x.astype(jnp.float32) * gate[:, None]).astype(x.dtype)
         ctx = (ctx.astype(jnp.float32) + attn_c.astype(jnp.float32) * cgate[:, None]).astype(ctx.dtype)
@@ -258,7 +302,7 @@ class HunyuanSingleBlock(nnx.Module):
         self.router = Router(dim, cfg.num_heads, rngs=rngs)
 
     def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
-                 routing_mode, interpret):
+                 routing_mode, interpret, sp_axis=None):
         text_len = ctx.shape[1]
         joint = jnp.concatenate([x, ctx], axis=1)
         residual = joint
@@ -270,7 +314,8 @@ class HunyuanSingleBlock(nnx.Module):
         if routing_mode not in ("off", "off_ref"):
             scores = self.router(clean_temb)
         attn_out = self.attn(
-            norm_j, x.shape[1], rope, text_mask, jcfg, scores, routing_mode, interpret
+            norm_j, x.shape[1], rope, text_mask, jcfg, scores, routing_mode,
+            interpret, sp_axis,
         )
         joint_out = self.proj_out(jnp.concatenate([attn_out, mlp], axis=2))
         joint = (residual.astype(jnp.float32) + joint_out.astype(jnp.float32) * gate[:, None]).astype(joint.dtype)
@@ -406,19 +451,35 @@ class HunyuanModel(nnx.Module):
         return_losses: bool = False,
         return_scores: bool = False,
         interpret: bool = False,
+        sp_axis: Optional[str] = None,
     ) -> HunyuanOutput:
+        """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
+        axis), ``latents`` hold this rank's contiguous latent-frame chunk and
+        ``attn_cfg.latent_shape`` is the GLOBAL token grid; text conditioning
+        is replicated.  The output is the rank-local frame chunk."""
         cfg = self.cfg
         b, t_px, h_px, w_px, _ = latents.shape
         pt, ph, pw = cfg.patch_size
-        grid = (t_px // pt, h_px // ph, w_px // pw)
+        sp_size = 1 if sp_axis is None else jax.lax.axis_size(sp_axis)
+        grid = (sp_size * (t_px // pt), h_px // ph, w_px // pw)
         if attn_cfg is None:
             attn_cfg = AttentionConfig(latent_shape=grid, sta_tile=grid)
+        elif attn_cfg.latent_shape != grid:
+            raise ValueError(
+                f"attention config latent_shape {attn_cfg.latent_shape} != "
+                f"global token grid {grid}"
+            )
         jcfg = JointConfig(video=attn_cfg, text_len=cfg.text_len)
 
         x = self.x_embedder(latents.astype(self.dtype)).reshape(b, -1, cfg.dim)
         temb, clean_temb = self.time_text_embed(timestep, pooled_text.astype(self.dtype), guidance)
         ctx = self.context_embedder(text_states.astype(self.dtype), timestep, text_mask)
         rope = hunyuan_rope_tables(grid, cfg)
+        if sp_axis is not None:
+            # this rank's contiguous rows of the global RoPE tables
+            from ..parallel.ulysses import slice_local
+
+            rope = tuple(slice_local(r, dim=0, axis=sp_axis) for r in rope)
 
         teacher = return_losses
         if teacher and routing_mode == "off":
@@ -432,14 +493,14 @@ class HunyuanModel(nnx.Module):
                 block = nnx.merge(graphdef, bstate)
                 x, ctx, scores = block(
                     x, ctx, temb, clean_temb, rope, text_mask, jcfg,
-                    routing_mode, interpret,
+                    routing_mode, interpret, sp_axis,
                 )
                 if teacher:
                     # the frozen teacher runs under grad tracing, so it must
                     # use the differentiable full-attention path
                     xt_n, ct_n, _ = block(
                         xt, ct, temb, clean_temb, rope, text_mask, jcfg,
-                        "off_ref", interpret,
+                        "off_ref", interpret, sp_axis,
                     )
                     xt = jax.lax.stop_gradient(xt_n)
                     ct = jax.lax.stop_gradient(ct_n)
@@ -476,7 +537,7 @@ class HunyuanModel(nnx.Module):
             out_t = jax.lax.stop_gradient(head(x_t))
             last_loss = jnp.mean(jnp.square(out_t.astype(jnp.float32) - out.astype(jnp.float32)))
 
-        t, h, w = grid
+        t, h, w = (t_px // pt, h_px // ph, w_px // pw)  # local grid under SP
         sample = out.reshape(b, t, h, w, pt, ph, pw, cfg.out_channels)
         sample = sample.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
             b, t * pt, h * ph, w * pw, cfg.out_channels

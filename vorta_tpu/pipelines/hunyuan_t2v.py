@@ -1,10 +1,17 @@
-"""HunyuanVideo text-to-video sampling (latent space).
+"""HunyuanVideo text-to-video sampling.
 
 Counterpart of the reference's patched HunyuanVideoPipeline
-(vorta/patch/pipeline_hunyuan.py): flow-match Euler integration with the
-model's embedded (distilled) guidance — guidance_scale * 1000 fed to the
-guidance embedder, no CFG pair by default (true-CFG optional via a negative
-embedding), per-prompt text mask threaded to the joint attention.
+(vorta/patch/pipeline_hunyuan.py): flow-match integration with the model's
+embedded (distilled) guidance — guidance_scale * 1000 fed to the guidance
+embedder, no CFG pair by default (true-CFG optional via a negative
+embedding), per-prompt text mask threaded to the joint attention, VAE decode
+with the scaling_factor denormalization (pipeline_hunyuan.py:460-463) and
+optional tiled decode (scripts/hunyuan/inference.py:100 vae.enable_tiling).
+
+With ``mesh`` set (a (dp, sp) Mesh) the denoise step runs inside shard_map:
+latent frames shard over sp (joint-attention Ulysses all-to-all inside the
+model — the reference's latent shard/gather at pipeline_hunyuan.py:367-369,
+457-458 without the NCCL choreography).
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ class HunyuanSamplingConfig:
     true_cfg_scale: float = 1.0  # >1 enables a real CFG pair
     flow_shift: float = 7.0
     routing_mode: str = "off"  # off | hard
+    scheduler: str = "euler"  # euler (reference hunyuan default) | unipc
 
 
 class HunyuanT2VPipeline:
@@ -36,10 +44,14 @@ class HunyuanT2VPipeline:
         model: HunyuanModel,
         attn_cfg: Optional[AttentionConfig] = None,
         interpret: bool = False,
+        mesh=None,
+        vae=None,
     ):
         self.model = model
         self.attn_cfg = attn_cfg
         self.interpret = interpret
+        self.mesh = mesh
+        self.vae = vae
         self._loop_cache = {}
 
     def prepare_latents(self, key, batch: int, frames: int, height: int, width: int):
@@ -49,10 +61,23 @@ class HunyuanT2VPipeline:
             key, (batch, t, height // 8, width // 8, cfg.in_channels), jnp.float32
         )
 
+    def _make_schedule(self, sampling: HunyuanSamplingConfig):
+        if sampling.scheduler == "unipc":
+            from ..schedulers.unipc import UniPCSchedule
+
+            return UniPCSchedule.create(
+                sampling.num_inference_steps, sampling.flow_shift
+            ), True
+        if sampling.scheduler == "euler":
+            return FlowMatchEulerSchedule.create(
+                sampling.num_inference_steps, sampling.flow_shift
+            ), False
+        raise ValueError(f"unknown scheduler {sampling.scheduler!r}")
+
     def _build_loop(self, sampling: HunyuanSamplingConfig):
-        schedule = FlowMatchEulerSchedule.create(
-            sampling.num_inference_steps, sampling.flow_shift
-        )
+        from ..schedulers.unipc import unipc_sample_step
+
+        schedule, use_unipc = self._make_schedule(sampling)
         attn_cfg = self.attn_cfg
         interpret = self.interpret
         routing_mode = sampling.routing_mode
@@ -64,9 +89,11 @@ class HunyuanT2VPipeline:
         def run(model: HunyuanModel, latents, text, mask, pooled, neg_text, neg_pooled):
             sigmas = jnp.asarray(schedule.sigmas)
             timesteps = jnp.asarray(schedule.timesteps)
+            n_steps = schedule.num_steps
 
             @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
-            def step(model: HunyuanModel, x, i):
+            def step(model: HunyuanModel, carry, i):
+                x, m_prev, x_prev = carry
                 b = x.shape[0]
                 t = jnp.full((b,), timesteps[i])
                 guidance = jnp.full((b,), guidance_value)
@@ -82,13 +109,106 @@ class HunyuanT2VPipeline:
                         routing_mode=routing_mode, interpret=interpret,
                     ).sample.astype(jnp.float32)
                     v = vu + cfg_scale * (v - vu)
-                x = x + (sigmas[i + 1] - sigmas[i]) * v
-                return x, jnp.zeros((), jnp.float32)
+                if use_unipc:
+                    x_next, m_i, x_hist = unipc_sample_step(
+                        x, v, i, sigmas, m_prev, x_prev, n_steps
+                    )
+                else:
+                    x_next = x + (sigmas[i + 1] - sigmas[i]) * v
+                    m_i, x_hist = m_prev, x_prev
+                return (x_next, m_i, x_hist), jnp.zeros((), jnp.float32)
 
-            x, _ = step(model, latents.astype(jnp.float32), jnp.arange(schedule.num_steps))
+            x0 = latents.astype(jnp.float32)
+            (x, _, _), _ = step(
+                model, (x0, jnp.zeros_like(x0), x0), jnp.arange(n_steps)
+            )
             return x
 
-        return run
+        if self.mesh is None:
+            return run
+
+        # --- sequence-parallel loop: shard_map'd model step inside the scan
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        graphdef, _ = nnx.split(self.model)
+
+        def velocity_fn(state, x, text, mask, pooled, neg_text, neg_pooled, t):
+            model = nnx.merge(graphdef, state)
+            b = x.shape[0]
+            guidance = jnp.full((b,), guidance_value)
+            out = model(
+                x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
+                attn_cfg=attn_cfg, routing_mode=routing_mode,
+                interpret=interpret, sp_axis="sp",
+            )
+            v = out.sample.astype(jnp.float32)
+            if do_cfg:
+                vu = model(
+                    x.astype(model.dtype), t, neg_text, mask, neg_pooled,
+                    guidance=guidance, attn_cfg=attn_cfg,
+                    routing_mode=routing_mode, interpret=interpret, sp_axis="sp",
+                ).sample.astype(jnp.float32)
+                v = vu + cfg_scale * (v - vu)
+            return v
+
+        smapped = shard_map(
+            velocity_fn, mesh=mesh,
+            in_specs=(P(), P(None, "sp"), P(), P(), P(), P(), P(), P()),
+            out_specs=P(None, "sp"),
+            check_vma=False,
+        )
+
+        def run_sp(model, latents, text, mask, pooled, neg_text, neg_pooled):
+            _, state = nnx.split(model)
+            sigmas = jnp.asarray(schedule.sigmas)
+            timesteps = jnp.asarray(schedule.timesteps)
+            n_steps = schedule.num_steps
+            latents = jax.device_put(
+                latents.astype(jnp.float32), NamedSharding(mesh, P(None, "sp"))
+            )
+
+            @jax.jit
+            def loop(state, latents, text, mask, pooled, neg_text, neg_pooled):
+                def body(carry, i):
+                    x, m_prev, x_prev = carry
+                    t = jnp.full((x.shape[0],), timesteps[i])
+                    v = smapped(state, x, text, mask, pooled, neg_text, neg_pooled, t)
+                    if use_unipc:
+                        x_next, m_i, x_hist = unipc_sample_step(
+                            x, v, i, sigmas, m_prev, x_prev, n_steps
+                        )
+                    else:
+                        x_next = x + (sigmas[i + 1] - sigmas[i]) * v
+                        m_i, x_hist = m_prev, x_prev
+                    return (x_next, m_i, x_hist), ()
+
+                (x, _, _), _ = jax.lax.scan(
+                    body, (latents, jnp.zeros_like(latents), latents),
+                    jnp.arange(n_steps),
+                )
+                return x
+
+            return loop(state, latents, text, mask, pooled, neg_text, neg_pooled)
+
+        return run_sp
+
+    def decode(self, latents: jax.Array, tiled: bool = False,
+               tile_latent=(16, 32, 32), overlap_latent=(4, 8, 8)) -> jax.Array:
+        """Latents -> pixels via the attached VAE (reference decode stage:
+        pipeline_hunyuan.py:460-463; tiling: scripts/hunyuan/inference.py:100)."""
+        if self.vae is None:
+            raise ValueError("pipeline constructed without a VAE")
+        z = self.vae.denormalize_latents(latents)
+        if tiled:
+            from ..models.vae_tiling import tiled_decode
+
+            return tiled_decode(
+                lambda zz: self.vae.decode(zz, denormalize=False),
+                z, tile_latent=tile_latent, overlap_latent=overlap_latent,
+            )
+        return self.vae.decode(z, denormalize=False)
 
     def __call__(
         self,

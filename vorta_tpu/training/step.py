@@ -159,12 +159,10 @@ def make_hunyuan_router_train_step(
     pooled_text) — reference scripts/hunyuan/train_one_step.py (pooled
     projection split from the prompt embed, guidance=1000).
 
-    Sequence parallelism for the joint video+text attention is not wired yet
-    (round-2); dp-only meshes are supported."""
-    if sp_axis is not None:
-        raise NotImplementedError(
-            "Hunyuan sequence parallelism pending; use sp_size=1 (dp-only mesh)"
-        )
+    With sp_axis set (inside shard_map): latents carry the rank's
+    latent-frame shard, text/mask/pooled are replicated, and the joint
+    attention does the Ulysses head<->sequence reshard internally
+    (models/hunyuan._sp_joint_in/_sp_joint_out)."""
     tt = jnp.asarray(timestep_table)
     st = jnp.asarray(sigma_table)
 
@@ -185,7 +183,7 @@ def make_hunyuan_router_train_step(
             noisy.astype(model.dtype), timesteps, text, mask, pooled,
             guidance=jnp.full((b,), guidance_value),
             attn_cfg=attn_cfg, routing_mode="soft",
-            return_losses=True, interpret=interpret,
+            return_losses=True, interpret=interpret, sp_axis=sp_axis,
         )
         pred = out.sample.astype(jnp.float32)
         if weights.precondition_outputs:
