@@ -34,7 +34,8 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="wan-1_3B",
-                   choices=["wan-1_3B", "wan-14B", "wan-tiny"])
+                   choices=["wan-1_3B", "wan-14B", "wan-tiny",
+                            "hunyuan-13B", "hunyuan-tiny"])
     p.add_argument("--torch_checkpoint", default=None)
     p.add_argument("--router_checkpoint", default=None)
     p.add_argument("--resume_dir", default=None)
@@ -59,7 +60,10 @@ def main(argv=None):
     from vorta_tpu.pipelines.wan_t2v import SamplingConfig, WanT2VPipeline
 
     interpret = jax.default_backend() != "tpu"
+    if args.model.startswith("hunyuan"):
+        return _main_hunyuan(args, interpret)
     model_cfg = {"wan-1_3B": WAN_1_3B, "wan-14B": WAN_14B, "wan-tiny": WAN_TINY}[args.model]
+    interpret = interpret or model_cfg.head_dim % 128 != 0
     grid = WAN_GEOMETRY.tokens((args.num_frames, args.height, args.width))
     if args.resume_dir and (Path(args.resume_dir) / "config.json").exists():
         attn_cfg = AttentionConfig.load(Path(args.resume_dir) / "config.json")
@@ -122,6 +126,96 @@ def main(argv=None):
         )
         t0 = time.time()
         out, _ = pipe(fresh, pe, ne, sampling=sampling)
+        out.block_until_ready()
+        dt = time.time() - t0
+        results[name] = {"seconds": round(dt, 2),
+                         "s_per_step": round(dt / args.num_inference_steps, 3)}
+        print(f"[{name}] {dt:.2f}s ({dt / args.num_inference_steps:.2f}s/step)", flush=True)
+
+    a = np.load(out_dir / "baseline" / "latents.npy")
+    b = np.load(out_dir / "vorta" / "latents.npy")
+    results["psnr_vorta_vs_baseline_db"] = round(psnr(a, b), 2)
+    results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
+    (out_dir / "summary.json").write_text(json.dumps(results, indent=2))
+    print(json.dumps(results), flush=True)
+
+
+
+def _main_hunyuan(args, interpret):
+    """Hunyuan baseline-vs-routed comparison (same protocol, joint attention)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from vorta_tpu.config import AttentionConfig
+    from vorta_tpu.geometry import HUNYUAN_GEOMETRY
+    from vorta_tpu.models.hunyuan import HUNYUAN_13B, HUNYUAN_TINY, HunyuanModel
+    from vorta_tpu.pipelines.hunyuan_t2v import (
+        HunyuanSamplingConfig,
+        HunyuanT2VPipeline,
+    )
+
+    model_cfg = HUNYUAN_13B if args.model == "hunyuan-13B" else HUNYUAN_TINY
+    interpret = interpret or model_cfg.head_dim % 128 != 0
+    grid = HUNYUAN_GEOMETRY.tokens((args.num_frames, args.height, args.width))
+    if args.resume_dir and (Path(args.resume_dir) / "config.json").exists():
+        attn_cfg = AttentionConfig.load(Path(args.resume_dir) / "config.json")
+    elif args.model == "hunyuan-tiny":
+        attn_cfg = AttentionConfig(
+            latent_shape=grid, sta_window=(3, 3, 1), sta_tile=(2, 2, 2),
+            lowres_window=(2, 2, 2), block_q=16, block_kv=16,
+            sta_block_q=8, sta_block_kv=8, tau_sparse=args.tau_sparse,
+        )
+    else:
+        tile = (6, 9, 8) if grid[0] % 6 == 0 and grid[1] % 9 == 0 and grid[2] % 8 == 0 \
+            else (2, 3, 2)
+        attn_cfg = AttentionConfig(
+            latent_shape=grid, sta_window=(3, 3, 3), sta_tile=tile,
+            lowres_window=(2, 3, 2), tau_sparse=args.tau_sparse,
+        )
+
+    dtype = jnp.float32 if args.model == "hunyuan-tiny" else jnp.bfloat16
+    model = HunyuanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
+    if args.torch_checkpoint:
+        from vorta_tpu.io.torch_import import load_hunyuan_torch_weights
+
+        load_hunyuan_torch_weights(model, args.torch_checkpoint)
+    if args.router_checkpoint:
+        from vorta_tpu.io.torch_import import load_hunyuan_router_torch_checkpoint
+
+        load_hunyuan_router_torch_checkpoint(model, args.router_checkpoint)
+
+    pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
+    noise = pipe.prepare_latents(
+        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
+    )
+    text = jax.random.normal(
+        jax.random.PRNGKey(args.seed + 1), (1, model_cfg.text_len, model_cfg.text_dim)
+    )
+    mask = jnp.ones((1, model_cfg.text_len), bool)
+    pooled = jax.random.normal(
+        jax.random.PRNGKey(args.seed + 2), (1, model_cfg.pooled_dim)
+    )
+
+    out_dir = Path(args.output_dir)
+    results = {}
+    for name, mode in (("baseline", "off"), ("vorta", "hard")):
+        sampling = HunyuanSamplingConfig(
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            flow_shift=args.flow_shift,
+            routing_mode=mode,
+        )
+        latents = pipe(noise, text, mask, pooled, sampling=sampling)
+        latents.block_until_ready()
+        (out_dir / name).mkdir(parents=True, exist_ok=True)
+        np.save(out_dir / name / "latents.npy", np.asarray(latents))
+        fresh = pipe.prepare_latents(
+            jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF),
+            1, args.num_frames, args.height, args.width,
+        )
+        t0 = time.time()
+        out = pipe(fresh, text, mask, pooled, sampling=sampling)
         out.block_until_ready()
         dt = time.time() - t0
         results[name] = {"seconds": round(dt, 2),

@@ -56,9 +56,53 @@ def parse_args(argv=None):
     # output
     p.add_argument("--output", default="results/sample.npy",
                    help=".npy latents, or .mp4/.gif with --decode")
-    p.add_argument("--decode", action="store_true", help="decode via Wan VAE")
+    p.add_argument("--decode", action="store_true", help="decode via the model's VAE")
+    p.add_argument("--vae_tiling", action="store_true",
+                   help="tiled VAE decode (reference: vae.enable_tiling())")
     p.add_argument("--vae_checkpoint", default=None)
+    # sequence-parallel sampling (reference: torchrun --nproc_per_node N + sp)
+    p.add_argument("--sp_size", type=int, default=1,
+                   help="shard latent frames over an sp mesh axis (Ulysses)")
+    p.add_argument("--dp_size", type=int, default=None)
+    # batch inference over a directory of prompt embeddings (reference
+    # iterates a prompt file with per-prompt seeds and skip-existing —
+    # scripts/wan/inference.py:165-193; our conditioning contract takes
+    # precomputed embeddings)
+    p.add_argument("--prompt_embeds_dir", default=None,
+                   help="directory of .npy/.pt embeds; one video per file")
+    p.add_argument("--skip_existing", action="store_true")
     return p.parse_args(argv)
+
+
+def make_mesh_or_none(args):
+    if args.sp_size <= 1 and not args.dp_size:
+        return None
+    from vorta_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(sp_size=args.sp_size, dp_size=args.dp_size)
+
+
+def run_batch(args, generate, load_fn):
+    """One video per embedding file, fixed seed per prompt and skip-existing
+    (reference loop: scripts/wan/inference.py:165-193)."""
+    import jax.numpy as jnp
+
+    files = sorted(
+        p for p in Path(args.prompt_embeds_dir).iterdir()
+        if p.suffix in (".npy", ".pt")
+    )
+    if not files:
+        raise SystemExit(f"no .npy/.pt embeds in {args.prompt_embeds_dir}")
+    out_base = Path(args.output)
+    suffix = out_base.suffix or ".npy"
+    out_dir = out_base.parent if out_base.suffix else out_base
+    for f in files:
+        out = out_dir / (f.stem + suffix)
+        if args.skip_existing and (out.exists() or out.with_suffix(".npy").exists()):
+            print(f"[sample] skip existing {out}")
+            continue
+        pe = load_fn(f)
+        generate(pe, jnp.zeros_like(pe), out)
 
 
 def load_embeds(path, cfg):
@@ -91,6 +135,9 @@ def main(argv=None):
     if args.model.startswith("hunyuan"):
         return _main_hunyuan(args, interpret)
     model_cfg = {"wan-1_3B": WAN_1_3B, "wan-14B": WAN_14B, "wan-tiny": WAN_TINY}[args.model]
+    # tiny configs have head_dim < 128 (TPU lane width): run the kernels in
+    # interpret mode rather than refusing
+    interpret = interpret or model_cfg.head_dim % 128 != 0
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     grid = WAN_GEOMETRY.tokens((args.num_frames, args.height, args.width))
@@ -135,6 +182,7 @@ def main(argv=None):
             nnx.update(model, router_state)
         print(f"[sample] router loaded from {args.router_checkpoint}")
 
+    pe = ne = None
     if args.prompt_embeds:
         pe = jnp.asarray(load_embeds(args.prompt_embeds, model_cfg))
     elif args.random_embeds:
@@ -142,14 +190,15 @@ def main(argv=None):
             jax.random.PRNGKey(args.seed + 1),
             (1, model_cfg.text_len, model_cfg.text_dim),
         )
-    else:
-        raise SystemExit("need --prompt_embeds or --random_embeds (no tokenizer weights in env)")
-    ne = (jnp.asarray(load_embeds(args.negative_prompt_embeds, model_cfg))
-          if args.negative_prompt_embeds else jnp.zeros_like(pe))
+    elif not args.prompt_embeds_dir:
+        raise SystemExit("need --prompt_embeds, --prompt_embeds_dir or "
+                         "--random_embeds (no tokenizer weights in env)")
+    if pe is not None:
+        ne = (jnp.asarray(load_embeds(args.negative_prompt_embeds, model_cfg))
+              if args.negative_prompt_embeds else jnp.zeros_like(pe))
 
-    pipe = WanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
-    latents = pipe.prepare_latents(
-        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
+    pipe = WanT2VPipeline(
+        model, attn_cfg=attn_cfg, interpret=interpret, mesh=make_mesh_or_none(args)
     )
     sampling = SamplingConfig(
         num_inference_steps=args.num_inference_steps,
@@ -158,30 +207,42 @@ def main(argv=None):
         scheduler=args.scheduler,
         routing_mode="off" if args.native_attention else "hard",
     )
-    t0 = time.time()
-    final, _ = pipe(latents, pe, ne, sampling=sampling)
-    final.block_until_ready()
-    print(f"[sample] denoised in {time.time() - t0:.1f}s "
-          f"({(time.time() - t0) / args.num_inference_steps:.2f}s/step)")
 
-    out = Path(args.output)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    if args.decode:
-        from vorta_tpu.models.wan_vae import WAN_VAE, WanVAE
-        from vorta_tpu.io.video import save_video
+    def generate(pe, ne, out):
+        latents = pipe.prepare_latents(
+            jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
+        )
+        t0 = time.time()
+        final, _ = pipe(latents, pe, ne, sampling=sampling)
+        final.block_until_ready()
+        print(f"[sample] denoised in {time.time() - t0:.1f}s "
+              f"({(time.time() - t0) / args.num_inference_steps:.2f}s/step)")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        if args.decode:
+            from vorta_tpu.models.wan_vae import WAN_VAE, WanVAE
+            from vorta_tpu.io.video import save_video
 
-        vae = WanVAE(WAN_VAE, dtype=dtype, rngs=nnx.Rngs(0))
-        if args.vae_checkpoint:
-            print("[sample] NOTE: VAE torch import pending checkpoint availability")
-        video = vae.decode(final)
-        save_video(np.asarray(video[0], dtype=np.float32), out)
+            vae = WanVAE(WAN_VAE, dtype=dtype, rngs=nnx.Rngs(0))
+            if args.vae_checkpoint:
+                print("[sample] NOTE: VAE torch import pending checkpoint availability")
+            z = vae.denormalize_latents(final)
+            if args.vae_tiling:
+                from vorta_tpu.models.vae_tiling import tiled_decode
+
+                video = tiled_decode(lambda zz: vae.decode(zz, denormalize=False), z)
+            else:
+                video = vae.decode(z, denormalize=False)
+            save_video(np.asarray(video[0], dtype=np.float32), out)
+        else:
+            np.save(out.with_suffix(".npy"), np.asarray(final))
+        print(f"[sample] wrote {out}")
+
+    if args.prompt_embeds_dir:
+        run_batch(args, generate, lambda p: jnp.asarray(load_embeds(p, model_cfg)))
     else:
-        np.save(out.with_suffix(".npy"), np.asarray(final))
-    print(f"[sample] wrote {out}")
+        generate(pe, ne, Path(args.output))
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _main_hunyuan(args, interpret):
@@ -196,6 +257,7 @@ def _main_hunyuan(args, interpret):
     from vorta_tpu.pipelines.hunyuan_t2v import HunyuanSamplingConfig, HunyuanT2VPipeline
 
     model_cfg = HUNYUAN_13B if args.model == "hunyuan-13B" else HUNYUAN_TINY
+    interpret = interpret or model_cfg.head_dim % 128 != 0
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     grid = HUNYUAN_GEOMETRY.tokens((args.num_frames, args.height, args.width))
     if args.model == "hunyuan-tiny":
@@ -221,10 +283,20 @@ def _main_hunyuan(args, interpret):
         applied, missing = load_hunyuan_torch_weights(model, args.torch_checkpoint)
         print(f"[sample] imported {len(applied)} tensors ({len(missing)} missing)")
     if args.router_checkpoint:
-        from vorta_tpu.io.torch_import import load_router_torch_checkpoint
+        rp = Path(args.router_checkpoint)
+        if rp.suffix in (".pt", ".bin", ".safetensors"):
+            from vorta_tpu.io.torch_import import load_hunyuan_router_torch_checkpoint
 
-        print("[sample] NOTE: hunyuan router import expects torch router.pt "
-              "with transformer/single_transformer block keys")
+            applied, _ = load_hunyuan_router_torch_checkpoint(model, rp)
+            print(f"[sample] hunyuan routers imported ({len(applied)} tensors)")
+        else:
+            from vorta_tpu.io.checkpoint import load_router_checkpoint
+            from vorta_tpu.training.step import router_partition
+
+            graphdef, router_state, frozen = router_partition(model)
+            router_state, _ = load_router_checkpoint(rp, router_state)
+            nnx.update(model, router_state)
+        print(f"[sample] router loaded from {args.router_checkpoint}")
 
     import numpy as np
 
@@ -241,20 +313,61 @@ def _main_hunyuan(args, interpret):
     else:
         raise SystemExit("need --prompt_embeds or --random_embeds")
 
-    pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
-    latents = pipe.prepare_latents(
-        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width)
+    vae = None
+    if args.decode:
+        from vorta_tpu.models.hunyuan_vae import (
+            HUNYUAN_VAE,
+            HUNYUAN_VAE_TINY,
+            HunyuanVAE,
+        )
+
+        vae_cfg = HUNYUAN_VAE if args.model == "hunyuan-13B" else HUNYUAN_VAE_TINY
+        vae = HunyuanVAE(vae_cfg, dtype=dtype, rngs=nnx.Rngs(0))
+        if args.vae_checkpoint:
+            print("[sample] NOTE: VAE torch import pending checkpoint availability")
+    pipe = HunyuanT2VPipeline(
+        model, attn_cfg=attn_cfg, interpret=interpret,
+        mesh=make_mesh_or_none(args), vae=vae,
+    )
     sampling = HunyuanSamplingConfig(
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale,
         flow_shift=args.flow_shift,
+        scheduler=args.scheduler if args.scheduler else "euler",
         routing_mode="off" if args.native_attention else "hard",
     )
-    t0 = time.time()
-    final = pipe(latents, text, mask, pooled, sampling=sampling)
-    final.block_until_ready()
-    print(f"[sample] denoised in {time.time() - t0:.1f}s")
-    out = Path(args.output)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    np.save(out.with_suffix(".npy"), np.asarray(final))
-    print(f"[sample] wrote {out.with_suffix('.npy')}")
+
+    def generate(text, mask, pooled, out):
+        latents = pipe.prepare_latents(
+            jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width)
+        t0 = time.time()
+        final = pipe(latents, text, mask, pooled, sampling=sampling)
+        final.block_until_ready()
+        print(f"[sample] denoised in {time.time() - t0:.1f}s")
+        out.parent.mkdir(parents=True, exist_ok=True)
+        if args.decode:
+            from vorta_tpu.io.video import save_video
+
+            # tiled decode bounds HBM at 720p x 129f (reference enables VAE
+            # tiling for hunyuan: scripts/hunyuan/inference.py:100)
+            video = pipe.decode(final, tiled=args.vae_tiling)
+            save_video(np.asarray(video[0], dtype=np.float32), out)
+        else:
+            np.save(out.with_suffix(".npy"), np.asarray(final))
+        print(f"[sample] wrote {out}")
+
+    if args.prompt_embeds_dir:
+        def load_fn(path):
+            return jnp.asarray(load_embeds(path, model_cfg))
+
+        def gen_wrap(pe, ne, out):
+            pooled = pe[:, 0, : model_cfg.pooled_dim]
+            mask = jnp.any(pe != 0, axis=-1)
+            generate(pe, mask, pooled, out)
+
+        run_batch(args, gen_wrap, load_fn)
+    else:
+        generate(text, mask, pooled, Path(args.output))
+
+if __name__ == "__main__":
+    main()

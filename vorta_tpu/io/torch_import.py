@@ -336,6 +336,33 @@ def load_router_torch_checkpoint(model, path):
     return applied, missing
 
 
+def load_hunyuan_router_torch_checkpoint(model, path):
+    """Import only router params from a reference-style Hunyuan router.pt.
+
+    The reference saves every state-dict key containing 'router' from the
+    patched HunyuanVideoTransformer3DModel (vorta/train/checkpoint.py:23-48),
+    so keys are ``transformer_blocks.{i}.router.linear.*`` (20 dual) and
+    ``single_transformer_blocks.{i}.router.linear.*`` (40 single)."""
+    sd = load_state_dict(path)
+    router_sd = {k.split("module.")[-1]: v for k, v in sd.items() if "router" in k}
+    if not router_sd:
+        raise ValueError(f"no router keys in {path}")
+    duals = [
+        {"router": {"linear": _linear(router_sd, f"transformer_blocks.{i}.router.linear")}}
+        for i in range(model.cfg.dual_layers)
+    ]
+    singles = [
+        {"router": {"linear": _linear(
+            router_sd, f"single_transformer_blocks.{i}.router.linear")}}
+        for i in range(model.cfg.single_layers)
+    ]
+    tree = {"dual_blocks": _stack(duals), "single_blocks": _stack(singles)}
+    graphdef, state = nnx.split(model)
+    applied, missing = _apply_tree(state, tree)
+    nnx.update(model, state)
+    return applied, missing
+
+
 def umt5_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
     """transformers UMT5EncoderModel state_dict -> models.umt5.UMT5Encoder tree."""
     pref = "encoder." if any(k.startswith("encoder.") for k in sd) else ""

@@ -135,6 +135,7 @@ def _flash_kernel(
     subtile: Optional[Tuple[int, int, int]],  # (tokens_per_tile, M, K)
     block_kv: int,
     cast_p_to_v_dtype: bool,
+    return_lse: bool = False,
 ):
     # unpack: scalar-prefetch refs (order matches the call), then in/out/scratch
     it = iter(refs)
@@ -142,7 +143,12 @@ def _flash_kernel(
     kv_count_ref = next(it)
     kv_valid_ref = next(it) if per_head_valid else None
     pair_bits_ref = next(it) if subtile is not None else None
-    q_ref, k_ref, v_ref, out_ref, m_scratch, l_scratch, acc_scratch = it
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    out_ref = next(it)
+    lse_ref = next(it) if return_lse else None
+    m_scratch, l_scratch, acc_scratch = it
 
     h = pl.program_id(1)
     i = pl.program_id(2)
@@ -228,6 +234,11 @@ def _flash_kernel(
         l = l_scratch[...]
         out = acc_scratch[...] / jnp.where(l == 0.0, 1.0, l)
         out_ref[0, 0] = out.astype(out_ref.dtype)
+        if return_lse:
+            # base-2 log-sum-exp in the scaled domain; empty rows carry a
+            # +inf-ish sentinel so the backward's exp2(s2 - lse) underflows
+            lse = m_scratch[...] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
+            lse_ref[0, 0] = jnp.where(l == 0.0, 1e30, lse)
 
 
 def sparse_flash_attention_raw(
@@ -245,8 +256,9 @@ def sparse_flash_attention_raw(
     pair_bits: Optional[jax.Array] = None,
     tokens_per_tile: Optional[int] = None,
     cast_p_to_v_dtype: bool = True,
+    return_lse: bool = False,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Forward-only block-sparse flash attention.
 
     q: (B, H, Sq, D); k/v: (B, H, Skv, D).
@@ -292,6 +304,7 @@ def sparse_flash_attention_raw(
         subtile=subtile,
         block_kv=block_kv,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
+        return_lse=return_lse,
     )
 
     prefetch = [kv_index, kv_count]
@@ -307,6 +320,11 @@ def sparse_flash_attention_raw(
         th = 0 if shared else hh
         return (bb, hh, refs[0][th, ii, jj], 0)
 
+    out_specs = pl.BlockSpec((1, 1, block_q, d), q_map)
+    out_shape = jax.ShapeDtypeStruct((b, h, sq, d), q.dtype)
+    if return_lse:
+        out_specs = [out_specs, pl.BlockSpec((1, 1, block_q, 1), q_map)]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((b, h, sq, 1), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(b, h, nq, width),
@@ -315,7 +333,7 @@ def sparse_flash_attention_raw(
             pl.BlockSpec((1, 1, block_kv, d), kv_map),
             pl.BlockSpec((1, 1, block_kv, d), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), q_map),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -328,7 +346,7 @@ def sparse_flash_attention_raw(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -351,13 +369,15 @@ def make_sparse_attention(
     block_kv: int = 256,
     kv_valid_len: Optional[int] = None,
     interpret: bool = False,
+    xla_bwd: bool = False,
 ):
     """Differentiable block-sparse attention with *static* tables.
 
-    Forward runs the Pallas kernel; backward currently recomputes through the
-    XLA chunked reference with the equivalent dense block mask (activations
-    must be differentiable for router training even though only router
-    params receive grads — reference: scripts/wan/train_one_step.py:121).
+    Forward runs the Pallas kernel (saving the per-row log-sum-exp); backward
+    runs the Pallas dq/dk/dv kernels over the same tables plus their
+    transpose (ops/flash_bwd.py).  ``xla_bwd=True`` keeps the round-1
+    chunked-XLA recompute backward — the oracle the kernel gradients are
+    tested against.
     """
     # keep tables as numpy here: converting to device arrays at factory time
     # would capture a tracer if the factory is first hit inside a jit trace,
@@ -365,8 +385,15 @@ def make_sparse_attention(
     kv_index_np = tables.kv_index
     kv_count_np = tables.kv_count
     mask_np = tables.block_mask(n_kv_blocks)
+    use_kernel_bwd = not xla_bwd and kv_index_np.shape[0] == 1
+    if use_kernel_bwd:
+        from .flash_bwd import transpose_tables
 
-    def fwd_impl(q, k, v):
+        q_index_np, q_count_np = transpose_tables(
+            kv_index_np, kv_count_np, n_kv_blocks
+        )
+
+    def fwd_impl(q, k, v, return_lse=False):
         return sparse_flash_attention_raw(
             q,
             k,
@@ -377,6 +404,7 @@ def make_sparse_attention(
             block_q=block_q,
             block_kv=block_kv,
             kv_valid_len=kv_valid_len,
+            return_lse=return_lse,
             interpret=interpret,
         )
 
@@ -400,13 +428,35 @@ def make_sparse_attention(
     def attn(q, k, v):
         return fwd_impl(q, k, v)
 
-    def attn_fwd(q, k, v):
-        return fwd_impl(q, k, v), (q, k, v)
+    if use_kernel_bwd:
+        from .flash_bwd import flash_backward
 
-    def attn_bwd(res, g):
-        q, k, v = res
-        _, vjp = jax.vjp(ref_impl, q, k, v)
-        return vjp(g)
+        def attn_fwd(q, k, v):
+            out, lse = fwd_impl(q, k, v, return_lse=True)
+            return out, (q, k, v, out, lse)
+
+        def attn_bwd(res, g):
+            q, k, v, out, lse = res
+            d = q.shape[-1]
+            return flash_backward(
+                q, k, v, out, lse, g,
+                jnp.asarray(kv_index_np), jnp.asarray(kv_count_np),
+                jnp.asarray(q_index_np), jnp.asarray(q_count_np),
+                scale=float(scale) if scale is not None else d**-0.5,
+                block_q=block_q,
+                block_kv=block_kv,
+                kv_valid_len=kv_valid_len if kv_valid_len is not None
+                else n_kv_blocks * block_kv,
+                interpret=interpret,
+            )
+    else:
+        def attn_fwd(q, k, v):
+            return fwd_impl(q, k, v), (q, k, v)
+
+        def attn_bwd(res, g):
+            q, k, v = res
+            _, vjp = jax.vjp(ref_impl, q, k, v)
+            return vjp(g)
 
     attn.defvjp(attn_fwd, attn_bwd)
     return attn

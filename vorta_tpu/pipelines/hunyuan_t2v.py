@@ -93,7 +93,7 @@ class HunyuanT2VPipeline:
 
             @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
             def step(model: HunyuanModel, carry, i):
-                x, m_prev, x_prev = carry
+                x, m_prev, m_prev2, x_prev = carry
                 b = x.shape[0]
                 t = jnp.full((b,), timesteps[i])
                 guidance = jnp.full((b,), guidance_value)
@@ -111,16 +111,18 @@ class HunyuanT2VPipeline:
                     v = vu + cfg_scale * (v - vu)
                 if use_unipc:
                     x_next, m_i, x_hist = unipc_sample_step(
-                        x, v, i, sigmas, m_prev, x_prev, n_steps
+                        x, v, i, sigmas, m_prev, x_prev, n_steps,
+                        m_prev2=m_prev2,
                     )
                 else:
                     x_next = x + (sigmas[i + 1] - sigmas[i]) * v
                     m_i, x_hist = m_prev, x_prev
-                return (x_next, m_i, x_hist), jnp.zeros((), jnp.float32)
+                return (x_next, m_i, m_prev, x_hist), jnp.zeros((), jnp.float32)
 
             x0 = latents.astype(jnp.float32)
-            (x, _, _), _ = step(
-                model, (x0, jnp.zeros_like(x0), x0), jnp.arange(n_steps)
+            (x, _, _, _), _ = step(
+                model, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0),
+                jnp.arange(n_steps),
             )
             return x
 
@@ -172,20 +174,23 @@ class HunyuanT2VPipeline:
             @jax.jit
             def loop(state, latents, text, mask, pooled, neg_text, neg_pooled):
                 def body(carry, i):
-                    x, m_prev, x_prev = carry
+                    x, m_prev, m_prev2, x_prev = carry
                     t = jnp.full((x.shape[0],), timesteps[i])
                     v = smapped(state, x, text, mask, pooled, neg_text, neg_pooled, t)
                     if use_unipc:
                         x_next, m_i, x_hist = unipc_sample_step(
-                            x, v, i, sigmas, m_prev, x_prev, n_steps
+                            x, v, i, sigmas, m_prev, x_prev, n_steps,
+                            m_prev2=m_prev2,
                         )
                     else:
                         x_next = x + (sigmas[i + 1] - sigmas[i]) * v
                         m_i, x_hist = m_prev, x_prev
-                    return (x_next, m_i, x_hist), ()
+                    return (x_next, m_i, m_prev, x_hist), ()
 
-                (x, _, _), _ = jax.lax.scan(
-                    body, (latents, jnp.zeros_like(latents), latents),
+                (x, _, _, _), _ = jax.lax.scan(
+                    body,
+                    (latents, jnp.zeros_like(latents), jnp.zeros_like(latents),
+                     latents),
                     jnp.arange(n_steps),
                 )
                 return x

@@ -94,7 +94,7 @@ class WanT2VPipeline:
 
             @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
             def step(model: WanModel, carry, i):
-                x, m_prev, x_prev = carry
+                x, m_prev, m_prev2, x_prev = carry
                 t = jnp.full((x.shape[0],), timesteps[i])
                 out = model(
                     x.astype(model.dtype),
@@ -119,17 +119,19 @@ class WanT2VPipeline:
                     velocity = vu + guidance_scale * (velocity - vu)
                 if use_unipc:
                     x_next, m_i, x_hist = unipc_sample_step(
-                        x, velocity, i, sigmas, m_prev, x_prev, n_steps
+                        x, velocity, i, sigmas, m_prev, x_prev, n_steps,
+                        m_prev2=m_prev2,
                     )
                 else:
                     x_next = x + (sigmas[i + 1] - sigmas[i]) * velocity
                     m_i, x_hist = m_prev, x_prev
                 scores = out.routing_scores if return_scores else jnp.zeros((), jnp.float32)
-                return (x_next, m_i, x_hist), scores
+                return (x_next, m_i, m_prev, x_hist), scores
 
             x0 = latents.astype(jnp.float32)
-            (x, _, _), scores = step(
-                model, (x0, jnp.zeros_like(x0), x0), jnp.arange(n_steps)
+            (x, _, _, _), scores = step(
+                model, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0),
+                jnp.arange(n_steps),
             )
             return x, scores
 
@@ -179,20 +181,23 @@ class WanT2VPipeline:
             @jax.jit
             def loop(state, latents, pe, ne):
                 def body(carry, i):
-                    x, m_prev, x_prev = carry
+                    x, m_prev, m_prev2, x_prev = carry
                     t = jnp.full((x.shape[0],), timesteps[i])
                     v = smapped(state, x, pe, ne, t)
                     if use_unipc:
                         x_next, m_i, x_hist = unipc_sample_step(
-                            x, v, i, sigmas, m_prev, x_prev, n_steps
+                            x, v, i, sigmas, m_prev, x_prev, n_steps,
+                            m_prev2=m_prev2,
                         )
                     else:
                         x_next = x + (sigmas[i + 1] - sigmas[i]) * v
                         m_i, x_hist = m_prev, x_prev
-                    return (x_next, m_i, x_hist), ()
+                    return (x_next, m_i, m_prev, x_hist), ()
 
-                (x, _, _), _ = jax.lax.scan(
-                    body, (latents, jnp.zeros_like(latents), latents),
+                (x, _, _, _), _ = jax.lax.scan(
+                    body,
+                    (latents, jnp.zeros_like(latents), jnp.zeros_like(latents),
+                     latents),
                     jnp.arange(n_steps),
                 )
                 return x

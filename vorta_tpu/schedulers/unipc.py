@@ -61,11 +61,19 @@ def unipc_sample_step(
     v,  # model velocity prediction at (x, sigma_i)
     i,  # step index (traced ok)
     sigmas,  # (N+1,) jnp
-    m_prev,  # previous data prediction (valid when i > 0)
-    x_prev,  # sample BEFORE the previous predictor step
+    m_prev,  # data prediction at step i-1 (valid when i > 0)
+    x_prev,  # corrected sample at step i-1
     num_steps: int,
+    m_prev2=None,  # data prediction at step i-2 (valid when i > 1);
+    # None keeps the order-1 corrector everywhere (legacy)
 ):
     """One UniPC step: corrector for the current state, then predictor.
+
+    Order bookkeeping mirrors diffusers UniPCMultistepScheduler
+    (solver_order=2, solver_type=bh2, predict_x0, lower_order_final): the
+    corrector at step i runs at the order the PREVIOUS predictor used
+    (1 at i=1, 2 for i >= 2), the predictor runs order 2 except at the first
+    and final steps.
 
     Returns (x_next, m_i, x_for_history).
     """
@@ -81,12 +89,35 @@ def unipc_sample_step(
     sig_p = sigmas[jnp.maximum(i - 1, 0)]
     alpha_i = 1.0 - sig_i
 
-    # --- corrector (UniC, order 2): re-derive the CURRENT sample from the
-    # previous state using the fresh data prediction (trapezoidal blend)
-    hh_c = lam_i - lam_p
-    phi1_c = jnp.expm1(-hh_c)
-    m_blend = m_prev + 0.5 * (m_i - m_prev)
-    x_corr = _safe_ratio(sig_i, sig_p) * x_prev - alpha_i * phi1_c * m_blend
+    # --- corrector (UniC): re-derive the CURRENT sample from the previous
+    # state using the fresh data prediction.  B(h) = expm1(hh) ("bh2").
+    hh_c = -(lam_i - lam_p)
+    phi1_c = jnp.expm1(hh_c)  # = B_h
+    d1_t = m_i - m_prev
+    if m_prev2 is None:
+        rho2 = 0.5
+        corr_terms = rho2 * d1_t
+    else:
+        # order-2 corrector: solve [[r1, 1], [r1^2, 1]] rho = [b1, b2] with
+        # r1 = (lam_{i-2} - lam_{i-1}) / (lam_i - lam_{i-1})
+        lam_pp = _lambda(sigmas[jnp.maximum(i - 2, 0)])
+        h_c = lam_i - lam_p
+        r1 = (lam_pp - lam_p) / _nonzero(h_c)
+        b1 = (phi1_c / _nonzero(hh_c) - 1.0) / _nonzero(phi1_c)
+        b2 = ((phi1_c / _nonzero(hh_c) - 1.0) / _nonzero(hh_c) - 0.5) * 2.0 / _nonzero(phi1_c)
+        det = _nonzero(r1 - r1 * r1)
+        rho1 = (b1 - b2) / det
+        rho2_solved = b1 - rho1 * r1
+        d1s = (m_prev2 - m_prev) / _nonzero(r1)
+        use2 = i >= 2
+        corr_terms = jnp.where(use2, rho1, 0.0) * d1s + jnp.where(
+            use2, rho2_solved, 0.5
+        ) * d1_t
+    x_corr = (
+        _safe_ratio(sig_i, sig_p) * x_prev
+        - alpha_i * phi1_c * m_prev
+        - alpha_i * phi1_c * corr_terms
+    )
     x_c = jnp.where(i > 0, x_corr, x)
 
     # --- predictor (UniP) to sigma_{i+1}
@@ -95,7 +126,8 @@ def unipc_sample_step(
     alpha_n = 1.0 - sig_n
     phi1 = jnp.expm1(-hh)
     x1 = _safe_ratio(sig_n, sig_i) * x_c - alpha_n * phi1 * m_i
-    # order-2: extrapolated divided difference, rho = 0.5
+    # order-2: extrapolated divided difference, rho = 0.5 (diffusers'
+    # order-2 shortcut, equal to DPM-Solver++(2M))
     r_prev = _nonzero((lam_i - lam_p) / _nonzero(hh))
     d1 = (m_i - m_prev) / r_prev
     x2 = x1 - alpha_n * phi1 * 0.5 * d1
