@@ -5,11 +5,11 @@ Runs the jitted denoise loop with full or routed-sparse attention, reading
 the attention geometry persisted by the trainer (config.json contract), and
 optionally decodes through the Wan VAE.
 
-Prompt conditioning: pass --prompt_embeds (a .pt/.npy of UMT5 states) or
---random_embeds for smoke runs.  On-the-fly text encoding needs UMT5 weights
-(--umt5_checkpoint) plus a tokenizer, which this zero-egress environment
-cannot fetch; the embedding path matches the reference's precomputed-latents
-training regime.
+Prompt conditioning, in precedence order: --prompt with --tokenizer_dir
+(on-the-fly encoding through the native UMT5/Llama+CLIP encoders; pass
+--text_encoder_checkpoint/--clip_checkpoint for real weights), --prompt_embeds
+(a .pt/.npy of precomputed states), --prompt_embeds_dir (batch mode), or
+--random_embeds for smoke runs.
 
 Example smoke run:
   python cli/sample.py --model wan-tiny --random_embeds --num_frames 13 \
@@ -41,7 +41,14 @@ def parse_args(argv=None):
                    help="full 3D attention baseline (speedup denominator)")
     p.add_argument("--tau_sparse", type=float, default=0.3)
     # generation
-    p.add_argument("--prompt", default=None)
+    p.add_argument("--prompt", default=None,
+                   help="text prompt; needs --tokenizer_dir (+ encoder ckpt)")
+    p.add_argument("--tokenizer_dir", default=None,
+                   help="dir with a HF fast tokenizer.json for the text encoder")
+    p.add_argument("--text_encoder_checkpoint", default=None,
+                   help="UMT5 (wan) / Llama (hunyuan) torch weights")
+    p.add_argument("--clip_tokenizer_dir", default=None)
+    p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--prompt_embeds", default=None, help=".npy/.pt UMT5 states (L, 4096)")
     p.add_argument("--negative_prompt_embeds", default=None)
     p.add_argument("--random_embeds", action="store_true")
@@ -183,7 +190,29 @@ def main(argv=None):
         print(f"[sample] router loaded from {args.router_checkpoint}")
 
     pe = ne = None
-    if args.prompt_embeds:
+    if args.prompt and args.tokenizer_dir:
+        # on-the-fly encoding (reference: pipeline_wan.py:267-276 via UMT5)
+        from vorta_tpu.io.text import encode_prompt_wan, load_tokenizer
+        from vorta_tpu.models.umt5 import UMT5Config, UMT5Encoder
+
+        tok = load_tokenizer(args.tokenizer_dir)
+        if model_cfg.text_dim == 4096:
+            enc_cfg = UMT5Config()  # UMT5-XXL (the real Wan text encoder)
+        else:  # tiny smoke models: match the DiT's text_dim
+            enc_cfg = UMT5Config(vocab_size=512, d_model=model_cfg.text_dim,
+                                 d_kv=16, num_heads=max(1, model_cfg.text_dim // 16),
+                                 d_ff=2 * model_cfg.text_dim, num_layers=2)
+        enc = UMT5Encoder(enc_cfg, dtype=dtype, param_dtype=dtype,
+                          rngs=nnx.Rngs(0))
+        if args.text_encoder_checkpoint:
+            from vorta_tpu.io.torch_import import load_umt5_torch_weights
+
+            load_umt5_torch_weights(enc, args.text_encoder_checkpoint)
+        else:
+            print("[sample] WARNING: encoding with random UMT5 weights "
+                  "(--text_encoder_checkpoint not given)")
+        pe = encode_prompt_wan(args.prompt, tok, enc, max_len=model_cfg.text_len)
+    elif args.prompt_embeds:
         pe = jnp.asarray(load_embeds(args.prompt_embeds, model_cfg))
     elif args.random_embeds:
         pe = jax.random.normal(
@@ -224,7 +253,10 @@ def main(argv=None):
 
             vae = WanVAE(WAN_VAE, dtype=dtype, rngs=nnx.Rngs(0))
             if args.vae_checkpoint:
-                print("[sample] NOTE: VAE torch import pending checkpoint availability")
+                from vorta_tpu.io.torch_import import load_wan_vae_torch_weights
+
+                applied, _ = load_wan_vae_torch_weights(vae, args.vae_checkpoint)
+                print(f"[sample] VAE imported ({len(applied)} tensors)")
             z = vae.denormalize_latents(final)
             if args.vae_tiling:
                 from vorta_tpu.models.vae_tiling import tiled_decode
@@ -300,7 +332,41 @@ def _main_hunyuan(args, interpret):
 
     import numpy as np
 
-    if args.random_embeds:
+    text = mask = pooled = None
+    if args.prompt and args.tokenizer_dir:
+        from vorta_tpu.io.text import encode_prompt_hunyuan, load_tokenizer
+        from vorta_tpu.models.text_encoders import (
+            CLIPTextConfig, CLIPTextEncoder, LlamaConfig, LlamaTextEncoder,
+        )
+
+        ltok = load_tokenizer(args.tokenizer_dir)
+        ctok = load_tokenizer(args.clip_tokenizer_dir or args.tokenizer_dir)
+        if model_cfg.text_dim == 4096:
+            lcfg, ccfg = LlamaConfig(), CLIPTextConfig()
+        else:  # tiny smoke models: match the DiT's conditioning dims
+            lcfg = LlamaConfig(vocab_size=512, dim=model_cfg.text_dim,
+                               num_layers=2, num_heads=2, num_kv_heads=2,
+                               ffn_dim=2 * model_cfg.text_dim)
+            ccfg = CLIPTextConfig(vocab_size=512, dim=model_cfg.pooled_dim,
+                                  num_layers=2, num_heads=2,
+                                  ffn_dim=2 * model_cfg.pooled_dim, max_len=77)
+        llama = LlamaTextEncoder(lcfg, dtype=dtype, param_dtype=dtype,
+                                 rngs=nnx.Rngs(0))
+        clip = CLIPTextEncoder(ccfg, dtype=dtype, param_dtype=dtype,
+                               rngs=nnx.Rngs(1))
+        if args.text_encoder_checkpoint:
+            from vorta_tpu.io.torch_import import load_llama_torch_weights
+
+            load_llama_torch_weights(llama, args.text_encoder_checkpoint)
+        if args.clip_checkpoint:
+            from vorta_tpu.io.torch_import import load_clip_text_torch_weights
+
+            load_clip_text_torch_weights(clip, args.clip_checkpoint)
+        if not (args.text_encoder_checkpoint and args.clip_checkpoint):
+            print("[sample] WARNING: encoding with random text-encoder weights")
+        text, mask, pooled = encode_prompt_hunyuan(
+            args.prompt, ltok, llama, ctok, clip, max_len=model_cfg.text_len)
+    elif args.random_embeds:
         text = jax.random.normal(
             jax.random.PRNGKey(args.seed + 1), (1, model_cfg.text_len, model_cfg.text_dim))
         pooled = jax.random.normal(jax.random.PRNGKey(args.seed + 2), (1, model_cfg.pooled_dim))
@@ -324,7 +390,10 @@ def _main_hunyuan(args, interpret):
         vae_cfg = HUNYUAN_VAE if args.model == "hunyuan-13B" else HUNYUAN_VAE_TINY
         vae = HunyuanVAE(vae_cfg, dtype=dtype, rngs=nnx.Rngs(0))
         if args.vae_checkpoint:
-            print("[sample] NOTE: VAE torch import pending checkpoint availability")
+            from vorta_tpu.io.torch_import import load_hunyuan_vae_torch_weights
+
+            applied, _ = load_hunyuan_vae_torch_weights(vae, args.vae_checkpoint)
+            print(f"[sample] VAE imported ({len(applied)} tensors)")
     pipe = HunyuanT2VPipeline(
         model, attn_cfg=attn_cfg, interpret=interpret,
         mesh=make_mesh_or_none(args), vae=vae,
