@@ -19,6 +19,7 @@ provides (the real TPU chip under the driver); uses scan-inside-jit timing
 because per-dispatch tunnel latency would otherwise dominate.
 """
 
+import argparse
 import json
 import os
 import time
@@ -73,6 +74,10 @@ def load_router_npz(router_state, path):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--geom", default="720p", choices=["720p", "480p"],
+                    help="480p variant reported for the routed-not-slower check")
+    args = ap.parse_args()
     interpret = jax.default_backend() != "tpu"
     if interpret:
         print(
@@ -89,15 +94,31 @@ def main():
     # = 72000 tokens, STA tile [5, 9, 8] (train.sh), lowres window [2, 3, 2].
     # Model: Wan-1.3B shapes (the 14B does not fit a single v5e; heads/head_dim
     # and the attention geometry — where the speedup lives — are identical).
-    attn = AttentionConfig(
-        latent_shape=(20, 45, 80),
-        sta_window=(3, 3, 3),
-        sta_tile=(5, 9, 8),
-        lowres_window=(2, 3, 2),
-        block_q=1024,
-        block_kv=1024,
-        tau_sparse=0.3,
-    )
+    if args.geom == "720p":
+        attn = AttentionConfig(
+            latent_shape=(20, 45, 80),
+            sta_window=(3, 3, 3),
+            sta_tile=(5, 9, 8),
+            lowres_window=(2, 3, 2),
+            block_q=1024,
+            block_kv=1024,
+            tau_sparse=0.3,
+        )
+        px = (90, 160)
+    else:  # 480p x 77f: latent grid (20, 30, 52); tile_w is not 8-aligned
+        # so STA runs the tiled-layout fallback kernel
+        attn = AttentionConfig(
+            latent_shape=(20, 30, 52),
+            sta_window=(3, 3, 3),
+            sta_tile=(4, 6, 4),
+            lowres_window=(2, 3, 2),
+            block_q=1024,
+            block_kv=1024,
+            sta_block_q=480,
+            sta_block_kv=576,
+            tau_sparse=0.3,
+        )
+        px = (60, 104)
     model = WanModel(WAN_1_3B, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                      rngs=nnx.Rngs(0))
     graphdef, router_state, frozen_state = router_partition(model)
@@ -109,7 +130,8 @@ def main():
 
     b = 1
     latents = jax.random.normal(
-        jax.random.PRNGKey(0), (b, 20, 90, 160, WAN_1_3B.in_channels), jnp.bfloat16
+        jax.random.PRNGKey(0), (b, 20, px[0], px[1], WAN_1_3B.in_channels),
+        jnp.bfloat16,
     )
     context = jax.random.normal(
         jax.random.PRNGKey(1), (b, WAN_1_3B.text_len, WAN_1_3B.text_dim), jnp.bfloat16
@@ -123,14 +145,14 @@ def main():
         out = m(lat, t, ctx, attn_cfg=attn, routing_mode=mode)
         return c + out.sample.astype(jnp.float32).mean()
 
-    args = (frozen_state, latents, context)
+    big = (frozen_state, latents, context)
     full_s = device_seconds(
-        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "off"), router_state, *args)
+        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "off"), router_state, *big)
     routed_s = device_seconds(
-        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"), router_state, *args)
+        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"), router_state, *big)
 
     result = {
-        "metric": "wan1.3b_720p_77f_denoise_fwd_ms_routed",
+        "metric": f"wan1.3b_{args.geom}_77f_denoise_fwd_ms_routed",
         "value": round(routed_s * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(full_s / routed_s, 4),
@@ -140,7 +162,7 @@ def main():
     if trained:
         random_s = device_seconds(
             lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"),
-            random_router_state, *args)
+            random_router_state, *big)
         result["routed_ms_random_router"] = round(random_s * 1e3, 2)
         result["vs_baseline_random_router"] = round(full_s / random_s, 4)
     print(json.dumps(result), flush=True)

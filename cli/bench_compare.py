@@ -38,6 +38,8 @@ def main(argv=None):
                             "hunyuan-13B", "hunyuan-tiny"])
     p.add_argument("--torch_checkpoint", default=None)
     p.add_argument("--router_checkpoint", default=None)
+    p.add_argument("--router_npz", default=None,
+                   help="router params npz from tools/train_bench_router.py")
     p.add_argument("--resume_dir", default=None)
     p.add_argument("--num_frames", type=int, default=77)
     p.add_argument("--height", type=int, default=720)
@@ -91,6 +93,13 @@ def main(argv=None):
         from vorta_tpu.io.torch_import import load_router_torch_checkpoint
 
         load_router_torch_checkpoint(model, args.router_checkpoint)
+    if args.router_npz:
+        from bench import load_router_npz
+        from vorta_tpu.training.step import router_partition
+
+        graphdef, router_state, frozen = router_partition(model)
+        router_state = load_router_npz(router_state, args.router_npz)
+        nnx.update(model, router_state)
 
     pipe = WanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
     noise = pipe.prepare_latents(
