@@ -36,3 +36,27 @@ def test_sp_sampling_matches_single_device(mode):
     ref, _ = pipe(latents, pe, ne, sampling=cfg)
     out, _ = pipe_sp(latents, pe, ne, sampling=cfg)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_hunyuan_sp_sampling_matches_single_device():
+    from vorta_tpu.models.hunyuan import HUNYUAN_TINY, HunyuanModel
+    from vorta_tpu.pipelines.hunyuan_t2v import (
+        HunyuanSamplingConfig,
+        HunyuanT2VPipeline,
+    )
+
+    cfg = HUNYUAN_TINY
+    model = HunyuanModel(cfg, rngs=nnx.Rngs(0))
+    pipe = HunyuanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    mesh = make_mesh(sp_size=2, dp_size=1)
+    pipe_sp = HunyuanT2VPipeline(model, attn_cfg=ATTN, interpret=True, mesh=mesh)
+
+    latents = pipe.prepare_latents(jax.random.PRNGKey(0), 1, 13, 64, 64)
+    text = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim))
+    mask = jnp.arange(cfg.text_len)[None, :] < 17
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_dim))
+    sampling = HunyuanSamplingConfig(num_inference_steps=2, routing_mode="hard")
+
+    ref = pipe(latents, text, mask, pooled, sampling=sampling)
+    out = pipe_sp(latents, text, mask, pooled, sampling=sampling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4)

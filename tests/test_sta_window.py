@@ -123,3 +123,74 @@ def test_inactive_heads_zero(geom):
     assert np.all(out[:, 1] == 0) and np.all(out[:, 3] == 0)
     ref = dense_sta_oracle(q, k, v, latent, tile, window)
     np.testing.assert_allclose(out[:, 0], ref[:, 0], rtol=2e-4, atol=2e-4)
+
+
+def test_joint_window_dense_matches_ref():
+    """Window-dense joint STA (video window + dense text tail, separate
+    text-row call) vs the chunked joint reference at a tile_w=8 geometry."""
+    from vorta_tpu.ops.joint_experts import (
+        JointConfig,
+        joint_sta_attention,
+        joint_sta_attention_ref,
+    )
+    from vorta_tpu.ops.sta_window import supports_window_dense
+
+    latent, tile = (4, 4, 16), (2, 2, 8)
+    assert supports_window_dense(latent, tile)
+    vcfg = AttentionConfig(
+        latent_shape=latent, sta_window=(3, 3, 3), sta_tile=tile,
+        lowres_window=(2, 2, 2), block_q=32, block_kv=32,
+        sta_block_q=32, sta_block_kv=32,
+    )
+    jcfg = JointConfig(video=vcfg, text_len=16)
+    b, h, d = 1, 3, 32
+    sv = int(np.prod(latent))
+    rng = np.random.default_rng(0)
+
+    def mk(shape):
+        return jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    qv, kv_, vv = mk((b, h, sv, d)), mk((b, h, sv, d)), mk((b, h, sv, d))
+    qt, kt, vt = mk((b, h, 16, d)), mk((b, h, 16, d)), mk((b, h, 16, d))
+    mask = jnp.arange(16)[None, :] < 11  # ragged text
+
+    video, text = joint_sta_attention(
+        qv, kv_, vv, qt, kt, vt, mask, jcfg, interpret=True
+    )
+    video_r, text_r = joint_sta_attention_ref(
+        qv, kv_, vv, qt, kt, vt, mask, jcfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(video), np.asarray(video_r), rtol=3e-4, atol=3e-4
+    )
+    # only unpadded text rows are defined (caller zeroes the rest)
+    np.testing.assert_allclose(
+        np.asarray(text)[:, :, :11], np.asarray(text_r)[:, :, :11],
+        rtol=3e-4, atol=3e-4,
+    )
+
+
+def test_joint_window_dense_inactive_heads():
+    from vorta_tpu.ops.joint_experts import JointConfig, joint_sta_attention
+
+    latent, tile = (4, 4, 16), (2, 2, 8)
+    vcfg = AttentionConfig(
+        latent_shape=latent, sta_window=(3, 3, 3), sta_tile=tile,
+        lowres_window=(2, 2, 2), block_q=32, block_kv=32,
+        sta_block_q=32, sta_block_kv=32,
+    )
+    jcfg = JointConfig(video=vcfg, text_len=16)
+    b, h, d = 1, 2, 32
+    sv = int(np.prod(latent))
+    rng = np.random.default_rng(1)
+    mk = lambda shape: jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    qv, kv_, vv = mk((b, h, sv, d)), mk((b, h, sv, d)), mk((b, h, sv, d))
+    qt, kt, vt = mk((b, h, 16, d)), mk((b, h, 16, d)), mk((b, h, 16, d))
+    mask = jnp.ones((1, 16), bool)
+    active = jnp.asarray([True, False])
+    video, text = joint_sta_attention(
+        qv, kv_, vv, qt, kt, vt, mask, jcfg, active=active, interpret=True
+    )
+    assert np.all(np.asarray(video)[:, 1] == 0)
+    assert np.all(np.asarray(text)[:, 1] == 0)
+    assert not np.all(np.asarray(video)[:, 0] == 0)

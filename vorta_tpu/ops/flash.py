@@ -259,7 +259,9 @@ def sparse_flash_attention_raw(
     return_lse: bool = False,
     interpret: bool = False,
 ):
-    """Forward-only block-sparse flash attention.
+    """Block-sparse flash attention forward (no VJP attached here; see
+    make_sparse_attention).  With return_lse=True also returns the per-row
+    base-2 log-sum-exp (B, H, Sq, 1) consumed by ops/flash_bwd.
 
     q: (B, H, Sq, D); k/v: (B, H, Skv, D).
     kv_index: (H_tab, Sq//block_q, W) int32; kv_count: (H_tab, Sq//block_q).

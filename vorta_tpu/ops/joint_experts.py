@@ -38,6 +38,7 @@ from .flash_manual import sparse_flash_attention_manual
 from .layout import tile_sequence, untile_sequence
 from .routed_fused import _sta_blocks, route_expert_ids
 from .sta_batched import sta_flash_headbatched
+from .sta_window import sta_window_attention
 
 NEG = float(-1e30)
 
@@ -253,6 +254,12 @@ def joint_sta_attention(
     shape, tile = cfg.latent_shape, cfg.sta_tile
     if active is None:
         active = jnp.ones((h,), bool)
+    from .sta_window import supports_window_dense
+
+    if supports_window_dense(shape, tile) and jcfg.text_len % 8 == 0:
+        return _joint_sta_window_dense(
+            qv, kv_, vv, qt, kt, vt, text_mask, jcfg, active, scale, interpret
+        )
     # pack routed heads into leading head groups so the kernel can skip
     # fully-inactive groups (compute scales with the routed head count)
     perm = jnp.argsort(~active)
@@ -277,6 +284,61 @@ def joint_sta_attention(
     out = jnp.take(out, inv_perm, axis=1)
     tiled_out, text_out = _split(out, layout, cfg.seq_len, jcfg.text_len)
     return untile_sequence(tiled_out, shape, tile), text_out
+
+
+def _joint_sta_window_dense(
+    qv, kv_, vv, qt, kt, vt, text_mask, jcfg, active, scale, interpret
+):
+    """Zero-relayout joint STA: video queries run the window-dense kernel
+    with a dense text-KV tail; text queries (a few hundred rows) attend
+    densely over [raster video | text] through the manual-DMA kernel —
+    no tile relayouts, no assemble copies of the video tensors."""
+    cfg = jcfg.video
+    h = qv.shape[1]
+    text_bias = jnp.where(text_mask[0], 0.0, NEG)[None, :].astype(jnp.float32)
+
+    video_out = sta_window_attention(
+        qv, kv_, vv, active,
+        latent_shape=cfg.latent_shape, tile=cfg.sta_tile, window=cfg.sta_window,
+        scale=scale, text_k=kt, text_v=vt, text_bias=text_bias,
+        interpret=interpret,
+    )
+
+    # text rows: dense joint attention (a fraction of a percent of the work)
+    k_joint = jnp.concatenate([kv_, kt], axis=2)
+    v_joint = jnp.concatenate([vv, vt], axis=2)
+    s_all = k_joint.shape[2]
+    lt = jcfg.text_len
+    bq = max(8, 1 << (lt - 1).bit_length())
+    bkv = cfg.block_kv
+    nq, nkv = cdiv(lt, bq), cdiv(s_all, bkv)
+    idx = np.broadcast_to(np.arange(nkv, dtype=np.int32), (1, nq, nkv)).copy()
+    cnt = jnp.where(
+        active[:, None], jnp.full((1, nq), nkv, np.int32), 0
+    ).astype(jnp.int32)
+    bias_joint = jnp.concatenate(
+        [jnp.zeros((1, cfg.seq_len), jnp.float32), text_bias], axis=1
+    )
+
+    def pad_to(x, target):
+        if x.shape[2] == target:
+            return x
+        padc = [(0, 0)] * x.ndim
+        padc[2] = (0, target - x.shape[2])
+        return jnp.pad(x, padc)
+
+    out_t = sparse_flash_attention_manual(
+        pad_to(qt, nq * bq),
+        pad_to(k_joint, nkv * bkv),
+        pad_to(v_joint, nkv * bkv),
+        jnp.asarray(idx), cnt,
+        scale=scale, block_q=bq, block_kv=bkv,
+        kv_valid_len=s_all,
+        kv_bias=jnp.pad(bias_joint, ((0, 0), (0, nkv * bkv - s_all)),
+                        constant_values=NEG),
+        interpret=interpret,
+    )
+    return video_out, out_t[:, :, :lt]
 
 
 # ---------------------------------------------------------------------------

@@ -64,25 +64,34 @@ def window_starts(latent_shape: Shape3, tile: Shape3, window: Shape3) -> np.ndar
 
 
 def _kernel(
-    starts_ref,  # (n_tiles, 3) int32 element offsets, SMEM
-    active_ref,  # (H,) int32
-    q_ref,  # (1, hg, tt, th, tw, D)
-    k_hbm,  # (B, H, T, Hh, W, D) raster
-    v_hbm,
-    out_ref,  # (1, hg, tt, th, tw, D)
-    m_s,  # (hg, tpt, 1) f32
-    l_s,
-    acc_s,  # (hg, tpt, D) f32
-    k_buf,  # (2, hg, tt, th, bw, D)
-    v_buf,
-    dma_sems,  # (2, 2)
-    *,
+    *refs,
     scale: float,
     tile: Shape3,
     win_eff: Shape3,  # effective window in tiles per axis
     hg: int,  # heads per grid cell
+    text_len: int,  # 0 = video-only; >0 adds a dense text-KV tail
     cast_p_to_v_dtype: bool,
 ):
+    it = iter(refs)
+    starts_ref = next(it)  # (n_tiles, 3) int32 element offsets, SMEM
+    active_ref = next(it)  # (H,) int32
+    q_ref = next(it)  # (1, hg, tt, th, tw, D)
+    k_hbm = next(it)  # (B, H, T, Hh, W, D) raster
+    v_hbm = next(it)
+    tk_hbm = next(it) if text_len else None  # (B, H, Lt, D)
+    tv_hbm = next(it) if text_len else None
+    bias_ref = next(it) if text_len else None  # (1, Lt) f32 in VMEM
+    out_ref = next(it)  # (1, hg, tt, th, tw, D)
+    m_s = next(it)  # (hg, tpt, 1) f32
+    l_s = next(it)
+    acc_s = next(it)  # (hg, tpt, D) f32
+    k_buf = next(it)  # (2, hg, tt, th, bw, D)
+    v_buf = next(it)
+    if text_len:
+        tk_buf = next(it)  # (hg, Lt, D)
+        tv_buf = next(it)
+        text_sems = next(it)  # (2,)
+    dma_sems = next(it)  # (2, 2)
     b = pl.program_id(0)
     g = pl.program_id(1)
     i = pl.program_id(2)
@@ -130,6 +139,16 @@ def _kernel(
 
     @pl.when(group_any > 0)
     def _run():
+        if text_len:
+            # text K/V streamed once per cell, overlapped with the window loop
+            tkc = pltpu.make_async_copy(
+                tk_hbm.at[b, pl.ds(g * hg, hg), :, :], tk_buf, text_sems.at[0]
+            )
+            tvc = pltpu.make_async_copy(
+                tv_hbm.at[b, pl.ds(g * hg, hg), :, :], tv_buf, text_sems.at[1]
+            )
+            tkc.start()
+            tvc.start()
         kc, vc = chunk_dma(0, 0)
         kc.start()
         vc.start()
@@ -176,6 +195,39 @@ def _kernel(
 
         jax.lax.fori_loop(0, n_chunks, body, 0)
 
+        if text_len:
+            # dense text tail: every video query sees all (unpadded) text
+            tkc = pltpu.make_async_copy(
+                tk_hbm.at[b, pl.ds(g * hg, hg), :, :], tk_buf, text_sems.at[0]
+            )
+            tvc = pltpu.make_async_copy(
+                tv_hbm.at[b, pl.ds(g * hg, hg), :, :], tv_buf, text_sems.at[1]
+            )
+            tkc.wait()
+            tvc.wait()
+            kt = tk_buf[...]
+            vt = tv_buf[...]
+            s = jax.lax.dot_general(
+                q, kt,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * (scale * LOG2E) + bias_ref[0][None, None, :]
+            m_prev = m_s[...]
+            l_prev = l_s[...]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_s[...] = m_new
+            if cast_p_to_v_dtype and vt.dtype != jnp.float32:
+                p = p.astype(vt.dtype)
+            acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+                p, vt,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+
     l = l_s[...]
     out = acc_s[...] / jnp.where(l == 0.0, 1.0, l)
     # zero non-routed heads (SMEM scalar loads only -> static per-head loop)
@@ -211,11 +263,21 @@ def sta_window_attention(
     tile: Shape3,
     window: Shape3 = (3, 3, 3),
     scale: Optional[float] = None,
+    text_k: Optional[jax.Array] = None,  # (B, H, Lt, D) joint-attention tail
+    text_v: Optional[jax.Array] = None,
+    text_bias: Optional[jax.Array] = None,  # (1, Lt) or (Lt,) f32 additive
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
     """Sliding-tile attention over raster-order inputs; inactive heads output
-    zeros (participation-mask contract of ops/routed_fused)."""
+    zeros (participation-mask contract of ops/routed_fused).
+
+    With ``text_k/text_v`` set (Hunyuan joint attention), every video query
+    additionally attends densely to the text tokens, with ``text_bias``
+    carrying the per-prompt padding mask (-1e30 on padded positions) —
+    reference: vorta/attention/hunyuan.py joint STA.  Only the VIDEO rows are
+    computed here; text-query rows are dense over the whole joint sequence
+    and are handled by the caller (ops/joint_experts)."""
     b, n_heads, s, d = q.shape
     t, hh, w = latent_shape
     if s != t * hh * w:
@@ -242,6 +304,14 @@ def sta_window_attention(
     q6 = q.reshape(b, n_heads, t, hh, w, d)
     k6 = k.reshape(b, n_heads, t, hh, w, d)
     v6 = v.reshape(b, n_heads, t, hh, w, d)
+    text_len = 0
+    if text_k is not None:
+        text_len = text_k.shape[2]
+        if text_len % 8 and not interpret:
+            raise ValueError(f"text_len {text_len} must be a multiple of 8")
+        if text_bias is None:
+            text_bias = jnp.zeros((1, text_len), jnp.float32)
+        text_bias = text_bias.astype(jnp.float32).reshape(1, text_len)
 
     kernel = functools.partial(
         _kernel,
@@ -249,6 +319,7 @@ def sta_window_attention(
         tile=tile,
         win_eff=win_eff,
         hg=hg,
+        text_len=text_len,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
     )
 
@@ -259,23 +330,38 @@ def sta_window_attention(
         wi = rem - hi * nw
         return (bb, gg, ti, hi, wi, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, hg, tt, th, tw, d), q_map),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [q6, k6, v6]
+    scratch = [
+        pltpu.VMEM((hg, tpt, 1), jnp.float32),
+        pltpu.VMEM((hg, tpt, 1), jnp.float32),
+        pltpu.VMEM((hg, tpt, d), jnp.float32),
+        pltpu.VMEM((2, hg, tt, th, bw, d), k.dtype),
+        pltpu.VMEM((2, hg, tt, th, bw, d), v.dtype),
+    ]
+    if text_len:
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, text_len), lambda bb, gg, ii, *r: (0, 0)),
+        ]
+        inputs += [text_k, text_v, text_bias]
+        scratch += [
+            pltpu.VMEM((hg, text_len, d), text_k.dtype),
+            pltpu.VMEM((hg, text_len, d), text_v.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, n_groups, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, hg, tt, th, tw, d), q_map),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hg, tt, th, tw, d), q_map),
-        scratch_shapes=[
-            pltpu.VMEM((hg, tpt, 1), jnp.float32),
-            pltpu.VMEM((hg, tpt, 1), jnp.float32),
-            pltpu.VMEM((hg, tpt, d), jnp.float32),
-            pltpu.VMEM((2, hg, tt, th, bw, d), k.dtype),
-            pltpu.VMEM((2, hg, tt, th, bw, d), v.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     n_chunks = win_eff[0] * win_eff[1]
     out6 = pl.pallas_call(
@@ -288,8 +374,8 @@ def sta_window_attention(
         cost_estimate=pl.CostEstimate(
             flops=int(b * n_heads * n_tiles * n_chunks * 4 * tpt * tt * th * bw * d),
             bytes_accessed=int(q.size * q.dtype.itemsize * 3),
-            transcendentals=int(b * n_heads * s * n_chunks),
+            transcendentals=int(b * n_heads * s * (n_chunks + (1 if text_len else 0))),
         ),
         interpret=interpret,
-    )(starts, active.astype(jnp.int32), q6, k6, v6)
+    )(starts, active.astype(jnp.int32), *inputs)
     return out6.reshape(b, n_heads, s, d)
