@@ -53,6 +53,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+
+    from vorta_tpu.parallel.mesh import pin_platform_from_env
+
+    pin_platform_from_env()
     import jax.numpy as jnp
     from flax import nnx
 

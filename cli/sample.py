@@ -130,6 +130,10 @@ def load_embeds(path, cfg):
 def main(argv=None):
     args = parse_args(argv)
     import jax
+
+    from vorta_tpu.parallel.mesh import pin_platform_from_env
+
+    pin_platform_from_env()
     import jax.numpy as jnp
     from flax import nnx
 

@@ -80,6 +80,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from vorta_tpu.parallel.mesh import pin_platform_from_env
+
+    pin_platform_from_env()
     from flax import nnx
     from jax import shard_map
     from jax.sharding import PartitionSpec as P

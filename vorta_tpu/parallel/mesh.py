@@ -37,3 +37,19 @@ def make_mesh(
     # contiguous sp groups: adjacent devices share an sp group (ICI locality)
     arr = np.asarray(devices).reshape(dp_size, sp_size)
     return Mesh(arr, (DP_AXIS, SP_AXIS))
+
+
+def pin_platform_from_env() -> None:
+    """Honor an explicit JAX_PLATFORMS env var.
+
+    Some environments side-load accelerator plugins via sitecustomize and
+    force-append them to jax_platforms, which silently overrides the user's
+    JAX_PLATFORMS=cpu (e.g. for a virtual multi-device CPU mesh).  CLIs call
+    this before first device use to restore the requested platform."""
+    import os
+
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
