@@ -354,11 +354,21 @@ class WanModel(nnx.Module):
         return_scores: bool = False,
         interpret: bool = False,
         sp_axis: Optional[str] = None,
+        frozen_sharded_axis: Optional[str] = None,
     ) -> WanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
         ``attn_cfg.latent_shape`` is the GLOBAL token grid; conditioning
-        inputs are replicated.  The output is the rank-local frame chunk."""
+        inputs are replicated.  The output is the rank-local frame chunk.
+
+        ``frozen_sharded_axis``: FSDP-style fallback for DiTs whose frozen
+        weights do not fit replicated (the reference FSDP-shards the frozen
+        13-14B model — train/fsdp_utils.py).  The stacked per-block FROZEN
+        params arrive layer-sharded over that mesh axis (each rank holds
+        num_layers/P blocks); the block loop fetches one block per step with
+        a psum broadcast from its owner, so peak per-chip weight memory is
+        (params/P + one block) instead of all params.  Router params (tiny)
+        stay replicated."""
         cfg = self.cfg
         b, t_px, h_px, w_px, _ = latents.shape
         pt, ph, pw = cfg.patch_size
@@ -395,10 +405,48 @@ class WanModel(nnx.Module):
         # nnx.scan this composes under any outer transform (plain jit,
         # shard_map, grad) because the merged module lives entirely inside
         # the scan-body trace
-        block_graphdef, block_state = nnx.split(self.blocks)
+        if frozen_sharded_axis is not None:
+            router_filter = nnx.All(nnx.Param, nnx.PathContains("router"))
+            block_graphdef, router_bs, frozen_bs = nnx.split(
+                self.blocks, router_filter, ...
+            )
+            p = jax.lax.axis_size(frozen_sharded_axis)
+            per = cfg.num_layers // p
+            if cfg.num_layers % p:
+                raise ValueError(
+                    f"num_layers {cfg.num_layers} not divisible by "
+                    f"{frozen_sharded_axis} axis size {p}"
+                )
+            me = jax.lax.axis_index(frozen_sharded_axis)
+
+            def fetch_block(i):
+                """psum-broadcast block i's frozen params from their owner."""
+                owner = i // per
+                local_i = i - owner * per
+
+                def get(leaf):
+                    row = jax.lax.dynamic_index_in_dim(
+                        leaf, local_i, 0, keepdims=False
+                    )
+                    row = jnp.where(owner == me, row, jnp.zeros_like(row))
+                    return jax.lax.psum(row, frozen_sharded_axis)
+
+                return jax.tree.map(get, frozen_bs)
+
+            def block_at(i):
+                rstate = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+                    router_bs,
+                )
+                return nnx.merge(block_graphdef, rstate, fetch_block(i))
+        else:
+            block_graphdef, block_state = nnx.split(self.blocks)
 
         def run_block(carry, bstate):
-            block: WanBlock = nnx.merge(block_graphdef, bstate)
+            if frozen_sharded_axis is not None:
+                block: WanBlock = block_at(bstate)  # bstate is the layer index
+            else:
+                block: WanBlock = nnx.merge(block_graphdef, bstate)
             xs, xt, reg, hid = carry
             xs, scores = block(
                 xs, ctx, temb6, temb, rope, attn_cfg, routing_mode,
@@ -421,8 +469,13 @@ class WanModel(nnx.Module):
             return (xs, xt, reg, hid), scores
 
         zero = jnp.zeros((), jnp.float32)
+        scan_xs = (
+            jnp.arange(cfg.num_layers)
+            if frozen_sharded_axis is not None
+            else block_state
+        )
         (x, x_t, reg_loss, hidden_loss), all_scores = jax.lax.scan(
-            run_block, (x, x, zero, zero), block_state
+            run_block, (x, x, zero, zero), scan_xs
         )
 
         # output head

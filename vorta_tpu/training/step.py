@@ -45,6 +45,24 @@ def router_partition(model):
     return nnx.split(model, router_filter, ...)
 
 
+def frozen_sharding_specs(frozen_state, axis: str = "dp"):
+    """PartitionSpec pytree for FSDP-style layer sharding of the frozen DiT.
+
+    Stacked per-block leaves (under "blocks") shard on their leading layer
+    axis over ``axis``; everything else (embedders, head) stays replicated.
+    Use as the shard_map in_spec / NamedSharding placement for frozen_state
+    when training with ``frozen_sharded_axis`` (models/wan.py) — the fallback
+    for DiTs whose frozen weights do not fit replicated, mirroring the
+    reference's FSDP wrap (train/fsdp_utils.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    def spec_for(path, leaf):
+        keys = "/".join(str(getattr(p, "key", "")) for p in path)
+        return P(axis) if "blocks" in keys else P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, frozen_state)
+
+
 def make_router_train_step(
     graphdef,
     attn_cfg: AttentionConfig,
@@ -54,6 +72,7 @@ def make_router_train_step(
     sigma_table=None,  # (T,) matching sigmas
     sp_axis: Optional[str] = None,
     dp_axis: Optional[str] = None,
+    frozen_sharded_axis: Optional[str] = None,
     interpret: bool = False,
 ):
     """Build the (jittable / shard_map-able) train step.
@@ -94,6 +113,7 @@ def make_router_train_step(
             return_losses=True,
             interpret=interpret,
             sp_axis=sp_axis,
+            frozen_sharded_axis=frozen_sharded_axis,
         )
         pred = out.sample.astype(jnp.float32)
         if weights.precondition_outputs:
