@@ -124,3 +124,40 @@ def test_sharded_train_step_matches_replicated():
     a = jax.tree_util.tree_leaves(r_sh)[0]
     b = jax.tree_util.tree_leaves(r_ref)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_hunyuan_sharded_forward_matches_replicated():
+    from vorta_tpu.models.hunyuan import HUNYUAN_TINY, HunyuanModel
+
+    cfg = HUNYUAN_TINY
+    model = HunyuanModel(cfg, rngs=nnx.Rngs(0))
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, cfg.in_channels))
+    text = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim))
+    mask = jnp.ones((1, cfg.text_len), bool)
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_dim))
+    t = jnp.asarray([500.0])
+    g = jnp.asarray([1000.0])
+    ref = model(latents, t, text, mask, pooled, guidance=g,
+                attn_cfg=ATTN, routing_mode="soft", interpret=True).sample
+
+    mesh = make_mesh(sp_size=1, dp_size=2)
+    graphdef, router_state, frozen_state = router_partition(model)
+    fspecs = frozen_sharding_specs(frozen_state, axis="dp")
+
+    def fwd(rstate, fstate, latents, t, text, mask, pooled, g):
+        m = nnx.merge(graphdef, rstate, fstate)
+        return m(latents, t, text, mask, pooled, guidance=g,
+                 attn_cfg=ATTN, routing_mode="soft", interpret=True,
+                 frozen_sharded_axis="dp").sample
+
+    f = shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), fspecs, P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    frozen_sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), frozen_state, fspecs
+    )
+    out = f(router_state, frozen_sharded, latents, t, text, mask, pooled, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

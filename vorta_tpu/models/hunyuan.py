@@ -452,6 +452,7 @@ class HunyuanModel(nnx.Module):
         return_scores: bool = False,
         interpret: bool = False,
         sp_axis: Optional[str] = None,
+        frozen_sharded_axis: Optional[str] = None,
     ) -> HunyuanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -485,12 +486,55 @@ class HunyuanModel(nnx.Module):
         if teacher and routing_mode == "off":
             raise ValueError("return_losses requires routed attention")
 
-        def run_stack(blocks_module, x, ctx, xt, ct, reg, hid):
-            graphdef, state = nnx.split(blocks_module)
+        def run_stack(blocks_module, n_layers, x, ctx, xt, ct, reg, hid):
+            if frozen_sharded_axis is not None:
+                # FSDP-style fallback (see models/wan.py): frozen block
+                # params arrive layer-sharded over the axis; fetch one
+                # block per scan step with a psum broadcast from its owner
+                router_filter = nnx.All(nnx.Param, nnx.PathContains("router"))
+                graphdef, router_bs, frozen_bs = nnx.split(
+                    blocks_module, router_filter, ...
+                )
+                p = jax.lax.axis_size(frozen_sharded_axis)
+                if n_layers % p:
+                    raise ValueError(
+                        f"layer count {n_layers} not divisible by "
+                        f"{frozen_sharded_axis} axis size {p}"
+                    )
+                per = n_layers // p
+                me = jax.lax.axis_index(frozen_sharded_axis)
+
+                def block_at(i):
+                    owner = i // per
+                    local_i = i - owner * per
+
+                    def get(leaf):
+                        row = jax.lax.dynamic_index_in_dim(
+                            leaf, local_i, 0, keepdims=False
+                        )
+                        row = jnp.where(owner == me, row, jnp.zeros_like(row))
+                        return jax.lax.psum(row, frozen_sharded_axis)
+
+                    rstate = jax.tree.map(
+                        lambda x_: jax.lax.dynamic_index_in_dim(
+                            x_, i, 0, keepdims=False
+                        ),
+                        router_bs,
+                    )
+                    return nnx.merge(
+                        graphdef, rstate, jax.tree.map(get, frozen_bs)
+                    )
+
+                state = jnp.arange(n_layers)
+            else:
+                graphdef, state = nnx.split(blocks_module)
 
             def body(carry, bstate):
                 x, ctx, xt, ct, reg, hid = carry
-                block = nnx.merge(graphdef, bstate)
+                if frozen_sharded_axis is not None:
+                    block = block_at(bstate)
+                else:
+                    block = nnx.merge(graphdef, bstate)
                 x, ctx, scores = block(
                     x, ctx, temb, clean_temb, rope, text_mask, jcfg,
                     routing_mode, interpret, sp_axis,
@@ -520,10 +564,10 @@ class HunyuanModel(nnx.Module):
         zero = jnp.zeros((), jnp.float32)
         x_t, c_t = x, ctx
         x, ctx, x_t, c_t, reg, hid, s1 = run_stack(
-            self.dual_blocks, x, ctx, x_t, c_t, zero, zero
+            self.dual_blocks, cfg.dual_layers, x, ctx, x_t, c_t, zero, zero
         )
         x, ctx, x_t, c_t, reg, hid, s2 = run_stack(
-            self.single_blocks, x, ctx, x_t, c_t, reg, hid
+            self.single_blocks, cfg.single_layers, x, ctx, x_t, c_t, reg, hid
         )
 
         def head(hx):

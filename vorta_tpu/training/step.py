@@ -56,9 +56,15 @@ def frozen_sharding_specs(frozen_state, axis: str = "dp"):
     reference's FSDP wrap (train/fsdp_utils.py)."""
     from jax.sharding import PartitionSpec as P
 
+    stacked = {"blocks", "dual_blocks", "single_blocks"}
+
     def spec_for(path, leaf):
-        keys = "/".join(str(getattr(p, "key", "")) for p in path)
-        return P(axis) if "blocks" in keys else P()
+        segs = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        # only the STACKED block containers (leading layer axis); unstacked
+        # ModuleLists like the Hunyuan token refiner stay replicated
+        if "context_embedder" in segs:
+            return P()
+        return P(axis) if any(s in stacked for s in segs) else P()
 
     return jax.tree_util.tree_map_with_path(spec_for, frozen_state)
 
@@ -173,6 +179,7 @@ def make_hunyuan_router_train_step(
     guidance_value: float = 1000.0,  # reference: const guidance 1000 at train
     sp_axis: Optional[str] = None,
     dp_axis: Optional[str] = None,
+    frozen_sharded_axis: Optional[str] = None,
     interpret: bool = False,
 ):
     """Hunyuan variant: batch carries (latents, text_states, text_mask,
@@ -204,6 +211,7 @@ def make_hunyuan_router_train_step(
             guidance=jnp.full((b,), guidance_value),
             attn_cfg=attn_cfg, routing_mode="soft",
             return_losses=True, interpret=interpret, sp_axis=sp_axis,
+            frozen_sharded_axis=frozen_sharded_axis,
         )
         pred = out.sample.astype(jnp.float32)
         if weights.precondition_outputs:
