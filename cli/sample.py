@@ -58,7 +58,8 @@ def parse_args(argv=None):
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=5.0)
     p.add_argument("--flow_shift", type=float, default=5.0)
-    p.add_argument("--scheduler", default="unipc", choices=["unipc", "euler"])
+    p.add_argument("--scheduler", default=None, choices=["unipc", "euler"],
+                   help="default: unipc for wan (reference inference), euler for hunyuan")
     p.add_argument("--seed", type=int, default=1234)
     # output
     p.add_argument("--output", default="results/sample.npy",
@@ -103,13 +104,14 @@ def run_batch(args, generate, load_fn):
     out_base = Path(args.output)
     suffix = out_base.suffix or ".npy"
     out_dir = out_base.parent if out_base.suffix else out_base
+    neg = load_fn(args.negative_prompt_embeds) if args.negative_prompt_embeds else None
     for f in files:
         out = out_dir / (f.stem + suffix)
         if args.skip_existing and (out.exists() or out.with_suffix(".npy").exists()):
             print(f"[sample] skip existing {out}")
             continue
         pe = load_fn(f)
-        generate(pe, jnp.zeros_like(pe), out)
+        generate(pe, neg if neg is not None else jnp.zeros_like(pe), out)
 
 
 def load_embeds(path, cfg):
@@ -237,9 +239,20 @@ def main(argv=None):
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale,
         flow_shift=args.flow_shift,
-        scheduler=args.scheduler,
+        scheduler=args.scheduler or "unipc",  # reference wan default
         routing_mode="off" if args.native_attention else "hard",
     )
+
+    vae = None
+    if args.decode:
+        from vorta_tpu.models.wan_vae import WAN_VAE, WanVAE
+
+        vae = WanVAE(WAN_VAE, dtype=dtype, rngs=nnx.Rngs(0))
+        if args.vae_checkpoint:
+            from vorta_tpu.io.torch_import import load_wan_vae_torch_weights
+
+            applied, _ = load_wan_vae_torch_weights(vae, args.vae_checkpoint)
+            print(f"[sample] VAE imported ({len(applied)} tensors)")
 
     def generate(pe, ne, out):
         latents = pipe.prepare_latents(
@@ -252,15 +265,8 @@ def main(argv=None):
               f"({(time.time() - t0) / args.num_inference_steps:.2f}s/step)")
         out.parent.mkdir(parents=True, exist_ok=True)
         if args.decode:
-            from vorta_tpu.models.wan_vae import WAN_VAE, WanVAE
             from vorta_tpu.io.video import save_video
 
-            vae = WanVAE(WAN_VAE, dtype=dtype, rngs=nnx.Rngs(0))
-            if args.vae_checkpoint:
-                from vorta_tpu.io.torch_import import load_wan_vae_torch_weights
-
-                applied, _ = load_wan_vae_torch_weights(vae, args.vae_checkpoint)
-                print(f"[sample] VAE imported ({len(applied)} tensors)")
             z = vae.denormalize_latents(final)
             if args.vae_tiling:
                 from vorta_tpu.models.vae_tiling import tiled_decode
@@ -380,8 +386,9 @@ def _main_hunyuan(args, interpret):
         text = jnp.asarray(arr)
         pooled = text[:, 0, : model_cfg.pooled_dim]
         mask = jnp.any(text != 0, axis=-1)
-    else:
-        raise SystemExit("need --prompt_embeds or --random_embeds")
+    elif not args.prompt_embeds_dir:
+        raise SystemExit("need --prompt, --prompt_embeds, --prompt_embeds_dir "
+                         "or --random_embeds")
 
     vae = None
     if args.decode:
@@ -406,7 +413,7 @@ def _main_hunyuan(args, interpret):
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale,
         flow_shift=args.flow_shift,
-        scheduler=args.scheduler if args.scheduler else "euler",
+        scheduler=args.scheduler or "euler",  # reference hunyuan default
         routing_mode="off" if args.native_attention else "hard",
     )
 

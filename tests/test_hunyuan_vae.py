@@ -150,3 +150,26 @@ def test_pipeline_unipc_scheduler_runs():
                sampling=HunyuanSamplingConfig(num_inference_steps=3,
                                               scheduler="unipc"))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tiled_decode_no_seam_discontinuity():
+    """A decode stub returning its tile's mean exposes blend discontinuities:
+    adjacent tiles produce different constants, and the crossfade must
+    transition between them smoothly (the old one-sided ramp left a jump of
+    half the difference at each tile boundary)."""
+    def const_decode(z):
+        px = jnp.mean(z) * jnp.ones((z.shape[0], 4 * (z.shape[1] - 1) + 1,
+                                     8 * z.shape[2], 8 * z.shape[3], 3))
+        return px
+
+    # latent gradient along w -> neighbouring tiles decode to different values
+    z = jnp.broadcast_to(
+        jnp.linspace(0.0, 1.0, 16)[None, None, None, :, None], (1, 2, 4, 16, 4)
+    )
+    tiled = np.asarray(tiled_decode(const_decode, z, tile_latent=(2, 4, 8),
+                                    overlap_latent=(1, 2, 4)))
+    along_w = np.abs(np.diff(tiled[0, 0, 0, :, 0]))
+    total_span = tiled[0, 0, 0, :, 0].max() - tiled[0, 0, 0, :, 0].min()
+    # smooth crossfade: largest single-pixel step stays far below the
+    # half-difference jump the one-sided blend produced
+    assert along_w.max() < 0.25 * total_span, (along_w.max(), total_span)

@@ -85,3 +85,27 @@ def test_encode_prompt_hunyuan(toy_tokenizer):
 def test_missing_tokenizer_message(tmp_path):
     with pytest.raises(FileNotFoundError, match="tokenizer.json"):
         load_tokenizer(tmp_path)
+
+
+def test_encode_prompt_hunyuan_template_cropped(toy_tokenizer):
+    """The LLM template prefix must be cropped from the returned states and
+    never reach CLIP (diffusers crop_start behavior)."""
+    tok = load_tokenizer(toy_tokenizer)
+    llama = LlamaTextEncoder(LLAMA_TINY, rngs=nnx.Rngs(0))
+    clip = CLIPTextEncoder(CLIP_TINY, rngs=nnx.Rngs(1))
+    template = "a city at night {}"
+    states_t, mask_t, pooled_t = encode_prompt_hunyuan(
+        "a dog running", tok, llama, tok, clip,
+        max_len=24, clip_max_len=12, template=template,
+    )
+    # output length is the requested max_len, template tokens cropped away
+    assert states_t.shape == (1, 24, LLAMA_TINY.dim)
+    assert mask_t.shape == (1, 24)
+    # CLIP pooled is computed from the RAW prompt: identical to no-template
+    _, _, pooled_raw = encode_prompt_hunyuan(
+        "a dog running", tok, llama, tok, clip, max_len=24, clip_max_len=12,
+    )
+    np.testing.assert_allclose(np.asarray(pooled_t), np.asarray(pooled_raw))
+    # cropped mask counts only the user-prompt tokens
+    n_user = int(tokenize(tok, "a dog running", 24)[1].sum())
+    assert int(mask_t.sum()) == n_user

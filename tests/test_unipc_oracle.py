@@ -66,12 +66,12 @@ class UniPCOracle:
         if kind == "c":
             rks.append(1.0)
 
-        # b vector
+        # b vector; R rows are rks^0, rks^1, ... (published UniPC system)
         R, b = [], []
         h_phi_k = h_phi_1 / hh - 1
         factorial_i = 1
         for k in range(1, len(rks) + 1):
-            R.append(np.power(rks, k))
+            R.append(np.power(rks, k - 1))
             b.append(h_phi_k * factorial_i / B_h)
             factorial_i *= k + 1
             h_phi_k = h_phi_k / hh - 1 / factorial_i
@@ -200,3 +200,18 @@ def test_unipc_order1_and_final_step_lowering():
         )
         m_prev2, m_prev, x_prev = m_prev, m_i, x_hist
     np.testing.assert_allclose(np.asarray(xj, np.float64), x, rtol=5e-4, atol=5e-4)
+
+
+def test_corrector_rhos_solve_published_system():
+    """The jax corrector coefficients must equal np.linalg.solve of the
+    published UniPC system R = [[1, 1], [r1, 1]] (rows rks^0, rks^1)."""
+    for h, r1 in [(0.7, -1.1), (0.3, -0.8), (1.2, -1.4)]:
+        hh = -h
+        phi1 = np.expm1(hh)
+        b1 = (phi1 / hh - 1.0) / phi1
+        b2 = ((phi1 / hh - 1.0) / hh - 0.5) * 2.0 / phi1
+        expected = np.linalg.solve(np.array([[1.0, 1.0], [r1, 1.0]]),
+                                   np.array([b1, b2]))
+        rho1 = (b1 - b2) / (1.0 - r1)
+        rho2 = b1 - rho1
+        np.testing.assert_allclose([rho1, rho2], expected, rtol=1e-12)

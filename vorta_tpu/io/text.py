@@ -75,16 +75,30 @@ def encode_prompt_hunyuan(
     max_len: int = 256,
     clip_max_len: int = 77,
     template: Optional[str] = None,
+    crop_start: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Prompt(s) -> (llama hidden states (B, L, D), mask (B, L),
-    CLIP pooled (B, Dp)) — the Hunyuan conditioning triple."""
+    """Prompt(s) -> (llama hidden states (B, max_len, D), mask (B, max_len),
+    CLIP pooled (B, Dp)) — the Hunyuan conditioning triple.
+
+    With a ``template`` (the LLM instruction prompt HunyuanVideo wraps user
+    prompts in), only the LLAMA input is templated; the template-prefix
+    tokens are tokenized with extra budget and CROPPED from the returned
+    hidden states/mask (diffusers' crop_start), and CLIP sees the RAW user
+    prompt — matching the reference pipeline's conditioning."""
+    raw_prompts = prompts
     if template is not None:
+        if crop_start is None:
+            # tokens the template contributes before the user prompt
+            crop_start = len(llama_tokenizer.encode(template.format("")).ids)
         if isinstance(prompts, str):
             prompts = template.format(prompts)
         else:
             prompts = [template.format(p) for p in prompts]
-    ids, mask = tokenize(llama_tokenizer, prompts, max_len)
-    states = llama_encoder(ids, mask)
-    cids, _ = tokenize(clip_tokenizer, prompts, clip_max_len)
+    else:
+        crop_start = 0
+    ids, mask = tokenize(llama_tokenizer, prompts, max_len + crop_start)
+    states = llama_encoder(ids, mask, crop_start=crop_start)
+    mask = mask[:, crop_start:]
+    cids, _ = tokenize(clip_tokenizer, raw_prompts, clip_max_len)
     pooled = clip_encoder(cids)
     return states, mask, pooled

@@ -488,43 +488,18 @@ class HunyuanModel(nnx.Module):
 
         def run_stack(blocks_module, n_layers, x, ctx, xt, ct, reg, hid):
             if frozen_sharded_axis is not None:
-                # FSDP-style fallback (see models/wan.py): frozen block
-                # params arrive layer-sharded over the axis; fetch one
-                # block per scan step with a psum broadcast from its owner
+                # FSDP-style fallback: frozen block params arrive
+                # layer-sharded; fetch one block per scan step with a psum
+                # broadcast from its owner (parallel/fsdp.py)
+                from ..parallel.fsdp import sharded_block_fetcher
+
                 router_filter = nnx.All(nnx.Param, nnx.PathContains("router"))
                 graphdef, router_bs, frozen_bs = nnx.split(
                     blocks_module, router_filter, ...
                 )
-                p = jax.lax.axis_size(frozen_sharded_axis)
-                if n_layers % p:
-                    raise ValueError(
-                        f"layer count {n_layers} not divisible by "
-                        f"{frozen_sharded_axis} axis size {p}"
-                    )
-                per = n_layers // p
-                me = jax.lax.axis_index(frozen_sharded_axis)
-
-                def block_at(i):
-                    owner = i // per
-                    local_i = i - owner * per
-
-                    def get(leaf):
-                        row = jax.lax.dynamic_index_in_dim(
-                            leaf, local_i, 0, keepdims=False
-                        )
-                        row = jnp.where(owner == me, row, jnp.zeros_like(row))
-                        return jax.lax.psum(row, frozen_sharded_axis)
-
-                    rstate = jax.tree.map(
-                        lambda x_: jax.lax.dynamic_index_in_dim(
-                            x_, i, 0, keepdims=False
-                        ),
-                        router_bs,
-                    )
-                    return nnx.merge(
-                        graphdef, rstate, jax.tree.map(get, frozen_bs)
-                    )
-
+                block_at = sharded_block_fetcher(
+                    graphdef, router_bs, frozen_bs, n_layers, frozen_sharded_axis
+                )
                 state = jnp.arange(n_layers)
             else:
                 graphdef, state = nnx.split(blocks_module)

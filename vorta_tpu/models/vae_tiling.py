@@ -77,16 +77,28 @@ def tiled_decode(
                 ph0, pw0 = SPATIAL * h0, SPATIAL * w0
                 ptn, phn, pwn = px.shape[1], px.shape[2], px.shape[3]
                 wgt = np.ones((1, ptn, phn, pwn, 1), np.float32)
-                # linear ramps over the overlapped pixels on leading edges
+                # linear ramps on BOTH sides of each overlap (leading edge of
+                # the later tile, trailing edge of the earlier tile) so the
+                # normalized blend crossfades 100%->0% with no discontinuity
+                # at tile boundaries, like diffusers' blend_h/blend_v
                 if t0 > 0:
                     n = TEMPORAL * overlap_latent[0]
                     wgt[:, :n] *= _ramp(n)[None, :, None, None, None]
+                if t0 != t_starts[-1]:
+                    n = TEMPORAL * overlap_latent[0]
+                    wgt[:, ptn - n:] *= _ramp(n)[::-1][None, :, None, None, None]
                 if h0 > 0:
                     n = SPATIAL * overlap_latent[1]
                     wgt[:, :, :n] *= _ramp(n)[None, None, :, None, None]
+                if h0 != h_starts[-1]:
+                    n = SPATIAL * overlap_latent[1]
+                    wgt[:, :, phn - n:] *= _ramp(n)[::-1][None, None, :, None, None]
                 if w0 > 0:
                     n = SPATIAL * overlap_latent[2]
                     wgt[:, :, :, :n] *= _ramp(n)[None, None, None, :, None]
+                if w0 != w_starts[-1]:
+                    n = SPATIAL * overlap_latent[2]
+                    wgt[:, :, :, pwn - n:] *= _ramp(n)[::-1][None, None, None, :, None]
                 out[:, pt0:pt0 + ptn, ph0:ph0 + phn, pw0:pw0 + pwn] += px * wgt
                 weight[:, pt0:pt0 + ptn, ph0:ph0 + phn, pw0:pw0 + pwn] += wgt
 

@@ -406,39 +406,16 @@ class WanModel(nnx.Module):
         # shard_map, grad) because the merged module lives entirely inside
         # the scan-body trace
         if frozen_sharded_axis is not None:
+            from ..parallel.fsdp import sharded_block_fetcher
+
             router_filter = nnx.All(nnx.Param, nnx.PathContains("router"))
             block_graphdef, router_bs, frozen_bs = nnx.split(
                 self.blocks, router_filter, ...
             )
-            p = jax.lax.axis_size(frozen_sharded_axis)
-            per = cfg.num_layers // p
-            if cfg.num_layers % p:
-                raise ValueError(
-                    f"num_layers {cfg.num_layers} not divisible by "
-                    f"{frozen_sharded_axis} axis size {p}"
-                )
-            me = jax.lax.axis_index(frozen_sharded_axis)
-
-            def fetch_block(i):
-                """psum-broadcast block i's frozen params from their owner."""
-                owner = i // per
-                local_i = i - owner * per
-
-                def get(leaf):
-                    row = jax.lax.dynamic_index_in_dim(
-                        leaf, local_i, 0, keepdims=False
-                    )
-                    row = jnp.where(owner == me, row, jnp.zeros_like(row))
-                    return jax.lax.psum(row, frozen_sharded_axis)
-
-                return jax.tree.map(get, frozen_bs)
-
-            def block_at(i):
-                rstate = jax.tree.map(
-                    lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
-                    router_bs,
-                )
-                return nnx.merge(block_graphdef, rstate, fetch_block(i))
+            block_at = sharded_block_fetcher(
+                block_graphdef, router_bs, frozen_bs,
+                cfg.num_layers, frozen_sharded_axis,
+            )
         else:
             block_graphdef, block_state = nnx.split(self.blocks)
 

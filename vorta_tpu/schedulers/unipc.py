@@ -98,16 +98,16 @@ def unipc_sample_step(
         rho2 = 0.5
         corr_terms = rho2 * d1_t
     else:
-        # order-2 corrector: solve [[r1, 1], [r1^2, 1]] rho = [b1, b2] with
+        # order-2 corrector: solve [[1, 1], [r1, 1]] rho = [b1, b2]
+        # (R rows are rks^0, rks^1 — the published UniPC system) with
         # r1 = (lam_{i-2} - lam_{i-1}) / (lam_i - lam_{i-1})
         lam_pp = _lambda(sigmas[jnp.maximum(i - 2, 0)])
         h_c = lam_i - lam_p
         r1 = (lam_pp - lam_p) / _nonzero(h_c)
         b1 = (phi1_c / _nonzero(hh_c) - 1.0) / _nonzero(phi1_c)
         b2 = ((phi1_c / _nonzero(hh_c) - 1.0) / _nonzero(hh_c) - 0.5) * 2.0 / _nonzero(phi1_c)
-        det = _nonzero(r1 - r1 * r1)
-        rho1 = (b1 - b2) / det
-        rho2_solved = b1 - rho1 * r1
+        rho1 = (b1 - b2) / _nonzero(1.0 - r1)
+        rho2_solved = b1 - rho1
         d1s = (m_prev2 - m_prev) / _nonzero(r1)
         use2 = i >= 2
         corr_terms = jnp.where(use2, rho1, 0.0) * d1s + jnp.where(
