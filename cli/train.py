@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--tau_sparse", type=float, default=0.3)
     # parallelism
     p.add_argument("--sp_size", type=int, default=1)
+    p.add_argument("--shard_frozen", action="store_true",
+                   help="FSDP-style fallback: layer-shard the frozen DiT "
+                        "params over the dp axis (per-block psum fetch) for "
+                        "models that exceed per-chip HBM")
     p.add_argument("--dp_size", type=int, default=None)
     # optimization (reference defaults: train.sh)
     p.add_argument("--train_batch_size", type=int, default=1,
@@ -224,30 +228,46 @@ def main(argv=None):
         timestep_table=sigmas * 1000.0, sigma_table=sigmas,
         sp_axis="sp" if (use_mesh and sp > 1) else None,
         dp_axis="dp" if use_mesh else None,
+        frozen_sharded_axis="dp" if (use_mesh and args.shard_frozen) else None,
         interpret=interpret,
     )
     if use_mesh:
+        from vorta_tpu.training.step import frozen_sharding_specs
+
         batch_specs = (
             (P("dp", "sp"), P("dp"), P("dp"), P("dp")) if is_hunyuan
             else (P("dp", "sp"), P("dp"))
         )
+        fspecs = (
+            frozen_sharding_specs(frozen_state, axis="dp")
+            if args.shard_frozen else P()
+        )
         step_fn = jax.jit(
             shard_map(
                 step_fn, mesh=mesh,
-                in_specs=(P(), P(), P()) + batch_specs + (P(),),
+                in_specs=(P(), fspecs, P()) + batch_specs + (P(),),
                 out_specs=(P(), P(), P()),
                 check_vma=False,
             )
         )
         # restored checkpoints come back committed to a single device;
-        # replicate every state onto the mesh before stepping
+        # place every state onto the mesh before stepping (frozen params
+        # layer-sharded when --shard_frozen, else replicated)
         from jax.sharding import NamedSharding
 
         replicated = NamedSharding(mesh, P())
-        router_state, frozen_state, opt_state = jax.tree.map(
-            lambda x: jax.device_put(x, replicated),
-            (router_state, frozen_state, opt_state),
+        router_state, opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated), (router_state, opt_state)
         )
+        if args.shard_frozen:
+            frozen_state = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                frozen_state, fspecs,
+            )
+        else:
+            frozen_state = jax.tree.map(
+                lambda x: jax.device_put(x, replicated), frozen_state
+            )
     else:
         step_fn = jax.jit(step_fn)
 
