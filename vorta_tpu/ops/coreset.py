@@ -68,6 +68,24 @@ def _geometry(groups: LowresGroups):
     return groups._geom  # type: ignore[attr-defined]
 
 
+def _window_view(x: jax.Array, latent_shape, window):
+    """(B, H, S, D) raster -> FREE 9-D view (B, H, T2, wt, H3, wh, W2, ww, D)."""
+    b, h, s, d = x.shape
+    t, hh, w = latent_shape
+    wt, wh, ww = window
+    return x.reshape(b, h, t // wt, wt, hh // wh, wh, w // ww, ww, d)
+
+
+def _onehot_window(onehot: jax.Array, groups: LowresGroups, geom):
+    """(B, H, G, U, gs) -> (B, H, T2, wt, H3, wh, W2, ww, U) aligned with the
+    window view (small tensor; the only transpose in the pooling path)."""
+    b, h, g, u, gs = onehot.shape
+    t, hh, w = geom.latent_shape
+    wt, wh, ww = geom.window
+    oh = onehot.reshape(b, h, t // wt, hh // wh, w // ww, u, wt, wh, ww)
+    return oh.transpose(0, 1, 2, 6, 3, 7, 4, 8, 5)
+
+
 def pool_by_similarity(
     x: jax.Array,
     groups: LowresGroups,
@@ -78,6 +96,13 @@ def pool_by_similarity(
     The pooled sequence is ``[all G centers, then G*U kept margins]`` in
     group-major order, P = G * (1 + U).  Returns ``(pooled, matching)`` so K/V
     can reuse Q's matching.
+
+    All heavy arithmetic runs over a FREE window-shaped view of the raster
+    tensor (broadcast-multiply-reduce fusions): the grouping relayout that a
+    gather/einsum formulation needs never materializes.  Round 1 measured
+    those relayout copies at ~52% of the whole pooling cost (244 GB/s
+    effective — XLA transpose), so this is the difference between pooling
+    being free and pooling eating the lowres expert's win.
     """
     if x.shape[-2] != groups.full_length:
         raise ValueError(
@@ -89,22 +114,25 @@ def pool_by_similarity(
     u = groups.num_kept_margins
     gs = groups.group_size
     cs = geom.center_slot
+    wt, wh, ww = geom.window
+    ct, ch, cw = cs // (wh * ww), (cs // ww) % wh, cs % ww
 
-    grouped = _group_layout(x, groups, geom.window, geom.latent_shape)
-    centers = grouped[..., cs, :]  # (B, H, G, D)
+    x6 = _window_view(x, geom.latent_shape, geom.window)
+    centers6 = x6[:, :, :, ct, :, ch, :, cw, :]  # (B, H, T2, H3, W2, D)
+    centers = centers6.reshape(b, h, g, d)
 
     if matching is None:
         # Cosine RANKING only needs sim ∝ (c·m)/||m||: the center norm scales
         # every margin of a group equally, so dividing by it cannot change the
-        # order.  Two einsums with f32 accumulation — the grouped tensor is
-        # read twice but never cast/copied to f32.
-        dot = jnp.einsum(
-            "bhgd,bhgsd->bhgs", centers, grouped, preferred_element_type=jnp.float32
-        )
-        sq = jnp.einsum(
-            "bhgsd,bhgsd->bhgs", grouped, grouped, preferred_element_type=jnp.float32
-        )
-        sim = dot * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        # order.  Upcasts fuse into the multiply-reduce: one bf16-sized read
+        # of x, f32 math, no f32 copies.
+        xf = x6.astype(jnp.float32)
+        cf = centers6.astype(jnp.float32)[:, :, :, None, :, None, :, None, :]
+        dot = jnp.sum(xf * cf, axis=-1)  # (B,H,T2,wt,H3,wh,W2,ww)
+        sq = jnp.sum(xf * xf, axis=-1)
+        sim8 = dot * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+        # window dims last -> (B, H, G, gs) in slot-raster order (tiny copy)
+        sim = sim8.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(b, h, g, gs)
         # center excluded from selection: most-similar sentinel sorts it last
         sim = sim.at[..., cs].set(jnp.inf)
         # least-similar-first selection via U iterative arg-min passes over
@@ -126,13 +154,15 @@ def pool_by_similarity(
         onehot = jnp.stack(picks, axis=-2).astype(x.dtype)  # (B,H,G,U,gs)
         matching = Matching(kept=kept, onehot=onehot)
 
-    kept_vals = jnp.einsum(
-        "bhgus,bhgsd->bhgud",
-        matching.onehot.astype(x.dtype),
-        grouped,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    pooled = jnp.concatenate([centers, kept_vals.reshape(b, h, g * u, d)], axis=2)
+    # kept-margin extraction as a broadcast-multiply-reduce over the window
+    # dims of the free view (0/1 selection, exact in the input dtype)
+    oh8 = _onehot_window(matching.onehot.astype(x.dtype), groups, geom)
+    kept6 = jnp.sum(
+        x6[:, :, :, :, :, :, :, :, None, :] * oh8[..., None],
+        axis=(3, 5, 7),
+    )  # (B, H, T2, H3, W2, U, D)
+    kept_vals = kept6.reshape(b, h, g * u, d)
+    pooled = jnp.concatenate([centers, kept_vals], axis=2)
     return pooled, matching
 
 
@@ -153,16 +183,20 @@ def unpool_by_similarity(
     if p != groups.pooled_length:
         raise ValueError(f"pooled length {p} != expected {groups.pooled_length}")
 
-    centers = pooled[:, :, :g]  # (B, H, G, D)
-    kept_vals = pooled[:, :, g:].reshape(b, h, g, u, d)
-    onehot = matching.onehot.astype(pooled.dtype)
+    t, hh, w = geom.latent_shape
+    wt, wh, ww = geom.window
+    centers = pooled[:, :, :g].reshape(b, h, t // wt, hh // wh, w // ww, d)
+    kept6 = pooled[:, :, g:].reshape(b, h, t // wt, hh // wh, w // ww, u, d)
 
     # slot s gets its kept value if selected, else the group center (the
     # center slot itself is never selected, so it gets the center).  All
-    # arithmetic is exact 0/1 selection, safe in the input dtype — no f32
-    # copies of the full-length tensor
-    slots = jnp.einsum("bhgus,bhgud->bhgsd", onehot, kept_vals)
-    kept_mask = jnp.sum(onehot, axis=-2)[..., None]  # (B,H,G,gs,1)
-    grouped = slots + (1 - kept_mask) * centers[:, :, :, None, :]
-    out = _ungroup_layout(grouped, groups, geom.window, geom.latent_shape)
-    return out
+    # arithmetic is exact 0/1 selection in the input dtype, expressed as a
+    # broadcast-multiply-reduce straight into the raster window view — the
+    # inverse grouping relayout never materializes (see pool_by_similarity)
+    oh8 = _onehot_window(matching.onehot.astype(pooled.dtype), groups, geom)
+    kept_b = kept6[:, :, :, None, :, None, :, None, :, :]  # window dims bcast
+    slots8 = jnp.sum(oh8[..., None] * kept_b, axis=-2)  # (…, wt,…, ww, D)
+    kept_mask8 = jnp.sum(oh8, axis=-1)[..., None]
+    centers_b = centers[:, :, :, None, :, None, :, None, :]
+    out8 = slots8 + (1 - kept_mask8) * centers_b
+    return out8.reshape(b, h, t * hh * w, d)

@@ -82,16 +82,17 @@ def _kernel(
     tv_hbm = next(it) if text_len else None
     bias_ref = next(it) if text_len else None  # (1, Lt) f32 in VMEM
     out_ref = next(it)  # (1, hg, tt, th, tw, D)
-    m_s = next(it)  # (hg, tpt, 1) f32
+    m_s = next(it)  # (2, hg, tpt, 1) f32 — two interleaved softmax chains
     l_s = next(it)
-    acc_s = next(it)  # (hg, tpt, D) f32
-    k_buf = next(it)  # (2, hg, tt, th, bw, D)
+    acc_s = next(it)  # (2, hg, tpt, D) f32
+    k_buf = next(it)  # (n_slots, hg, tt, th, bw, D)
     v_buf = next(it)
     if text_len:
         tk_buf = next(it)  # (hg, Lt, D)
         tv_buf = next(it)
         text_sems = next(it)  # (2,)
-    dma_sems = next(it)  # (2, 2)
+    dma_sems = next(it)  # (n_slots, 2)
+    n_slots = k_buf.shape[0]
     b = pl.program_id(0)
     g = pl.program_id(1)
     i = pl.program_id(2)
@@ -149,51 +150,87 @@ def _kernel(
             )
             tkc.start()
             tvc.start()
-        kc, vc = chunk_dma(0, 0)
-        kc.start()
-        vc.start()
+        for j in range(min(n_slots, n_chunks)):
+            kc, vc = chunk_dma(j, j)
+            kc.start()
+            vc.start()
 
         q = q_ref[0].reshape(hg, tpt, d)  # free: tw % 8 == 0
 
-        def body(j, _):
-            slot = jax.lax.rem(j, 2)
-
-            @pl.when(j + 1 < n_chunks)
-            def _prefetch():
-                kc, vc = chunk_dma(jax.lax.rem(j + 1, 2), j + 1)
-                kc.start()
-                vc.start()
-
+        def qk(j):
+            slot = jax.lax.rem(j, n_slots)
             kc, vc = chunk_dma(slot, j)
             kc.wait()
             vc.wait()
-
             k = k_buf[slot].reshape(hg, tt * th * bw, d)
-            v = v_buf[slot].reshape(hg, tt * th * bw, d)
             s = jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (hg, tpt, N)
-            s = s * (scale * LOG2E)
+            return s * (scale * LOG2E), slot
 
-            m_prev = m_s[...]
-            l_prev = l_s[...]
+        def soft_pv(chain, s, slot):
+            """Online-softmax update of chain ``chain`` with scores ``s``."""
+            m_prev = m_s[chain]
+            l_prev = l_s[chain]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2(s - m_new)
             alpha = jnp.exp2(m_prev - m_new)
-            l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            m_s[...] = m_new
+            l_s[chain] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_s[chain] = m_new
+            v = v_buf[slot].reshape(hg, tt * th * bw, d)
             if cast_p_to_v_dtype and v.dtype != jnp.float32:
                 p = p.astype(v.dtype)
-            acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+            acc_s[chain] = acc_s[chain] * alpha + jax.lax.dot_general(
                 p, v,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
+
+        # Chunk pairs feed two independent (m, l, acc) chains so chain B's
+        # q@k (MXU) has no dependency on chain A's softmax (VPU): the
+        # scheduler can overlap them instead of serializing
+        # MXU -> VPU -> MXU per chunk (the round-1 bottleneck: 62% MXU util).
+        def pair_body(jp, _):
+            j = 2 * jp
+            s_a, slot_a = qk(j)
+            s_b, slot_b = qk(j + 1)
+            soft_pv(0, s_a, slot_a)
+            soft_pv(1, s_b, slot_b)
+
+            # refill the two slots just consumed (prefetch distance n_slots;
+            # issued only after both reads of the slot, so no overwrite race)
+            @pl.when(j + n_slots < n_chunks)
+            def _prefetch_a():
+                kc, vc = chunk_dma(jax.lax.rem(j + n_slots, n_slots), j + n_slots)
+                kc.start()
+                vc.start()
+
+            @pl.when(j + 1 + n_slots < n_chunks)
+            def _prefetch_b():
+                kc, vc = chunk_dma(
+                    jax.lax.rem(j + 1 + n_slots, n_slots), j + 1 + n_slots
+                )
+                kc.start()
+                vc.start()
+
             return 0
 
-        jax.lax.fori_loop(0, n_chunks, body, 0)
+        jax.lax.fori_loop(0, n_chunks // 2, pair_body, 0)
+        if n_chunks % 2:
+            j = n_chunks - 1
+            s_a, slot_a = qk(j)
+            soft_pv(0, s_a, slot_a)
+
+        # merge chain B into chain A (standard two-partials flash combine)
+        m_a, m_b = m_s[0], m_s[1]
+        m_new = jnp.maximum(m_a, m_b)
+        a_a = jnp.exp2(m_a - m_new)
+        a_b = jnp.exp2(m_b - m_new)
+        m_s[0] = m_new
+        l_s[0] = l_s[0] * a_a + l_s[1] * a_b
+        acc_s[0] = acc_s[0] * a_a + acc_s[1] * a_b
 
         if text_len:
             # dense text tail: every video query sees all (unpadded) text
@@ -213,23 +250,23 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
             s = s * (scale * LOG2E) + bias_ref[0][None, None, :]
-            m_prev = m_s[...]
-            l_prev = l_s[...]
+            m_prev = m_s[0]
+            l_prev = l_s[0]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp2(s - m_new)
             alpha = jnp.exp2(m_prev - m_new)
-            l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            m_s[...] = m_new
+            l_s[0] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            m_s[0] = m_new
             if cast_p_to_v_dtype and vt.dtype != jnp.float32:
                 p = p.astype(vt.dtype)
-            acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+            acc_s[0] = acc_s[0] * alpha + jax.lax.dot_general(
                 p, vt,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
 
-    l = l_s[...]
-    out = acc_s[...] / jnp.where(l == 0.0, 1.0, l)
+    l = l_s[0]
+    out = acc_s[0] / jnp.where(l == 0.0, 1.0, l)
     # zero non-routed heads (SMEM scalar loads only -> static per-head loop)
     for hi in range(hg):
         a = (active_ref[g * hg + hi] > 0).astype(jnp.float32)
@@ -336,12 +373,14 @@ def sta_window_attention(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [q6, k6, v6]
+    n_chunks_total = win_eff[0] * win_eff[1]
+    n_slots = min(4, max(2, n_chunks_total))
     scratch = [
-        pltpu.VMEM((hg, tpt, 1), jnp.float32),
-        pltpu.VMEM((hg, tpt, 1), jnp.float32),
-        pltpu.VMEM((hg, tpt, d), jnp.float32),
-        pltpu.VMEM((2, hg, tt, th, bw, d), k.dtype),
-        pltpu.VMEM((2, hg, tt, th, bw, d), v.dtype),
+        pltpu.VMEM((2, hg, tpt, 1), jnp.float32),
+        pltpu.VMEM((2, hg, tpt, 1), jnp.float32),
+        pltpu.VMEM((2, hg, tpt, d), jnp.float32),
+        pltpu.VMEM((n_slots, hg, tt, th, bw, d), k.dtype),
+        pltpu.VMEM((n_slots, hg, tt, th, bw, d), v.dtype),
     ]
     if text_len:
         in_specs += [
@@ -355,7 +394,7 @@ def sta_window_attention(
             pltpu.VMEM((hg, text_len, d), text_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
-    scratch.append(pltpu.SemaphoreType.DMA((2, 2)))
+    scratch.append(pltpu.SemaphoreType.DMA((n_slots, 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, n_groups, n_tiles),
