@@ -66,6 +66,13 @@ def main():
         model = WanModel(WAN_1_3B, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                          rngs=nnx.Rngs(0))
         graphdef, rstate, fstate = router_partition(model)
+        bench_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ckpt = os.path.join(bench_dir, "assets", "bench_router_wan1_3b.npz")
+        if os.path.exists(ckpt):
+            sys.path.insert(0, bench_dir)
+            from bench import load_router_npz
+
+            rstate = load_router_npz(rstate, ckpt)
         latents = jax.random.normal(
             jax.random.PRNGKey(0), (b, 20, 90, 160, WAN_1_3B.in_channels), jnp.bfloat16)
         context = jax.random.normal(

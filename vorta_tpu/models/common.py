@@ -24,6 +24,8 @@ class FP32LayerNorm(nnx.Module):
             self.bias = nnx.Param(jnp.zeros((dim,), jnp.float32))
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        # plain (unmodulated) norm stays in XLA: its bf16 output fuses into
+        # the consumer, which measured faster than an opaque kernel boundary
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
@@ -41,6 +43,17 @@ class FP32LayerNorm(nnx.Module):
         if self.affine:
             out = out * self.scale[None] + self.bias[None]
         return out
+
+    def modulated(self, x: jax.Array, scale: jax.Array, shift: jax.Array) -> jax.Array:
+        """Fused ``norm(x) * (1 + scale) + shift`` -> x.dtype (AdaLN).
+
+        scale/shift: (B, dim) f32.  One read+write pass on TPU (Pallas);
+        identical math to ``fp32(x) * (1+scale[:,None]) + shift[:,None]``."""
+        from ..ops.fused_norm import fused_norm
+
+        gamma = self.scale[...] if self.affine else None
+        beta = self.bias[...] if self.affine else None
+        return fused_norm(x, scale, shift, gamma, beta, False, self.eps, False)
 
 
 class RMSNorm(nnx.Module):

@@ -273,8 +273,8 @@ class HunyuanDualBlock(nnx.Module):
         if routing_mode not in ("off", "off_ref"):
             scores = self.router(clean_temb)
 
-        norm_x = (self.norm1.fp32(x) * (1 + sc[:, None]) + sh[:, None]).astype(x.dtype)
-        norm_c = (self.norm1_context.fp32(ctx) * (1 + csc[:, None]) + csh[:, None]).astype(ctx.dtype)
+        norm_x = self.norm1.modulated(x, sc, sh)
+        norm_c = self.norm1_context.modulated(ctx, csc, csh)
         attn_x, attn_c = self.attn(
             norm_x, norm_c, rope, text_mask, jcfg, scores, routing_mode,
             interpret, sp_axis,
@@ -282,8 +282,8 @@ class HunyuanDualBlock(nnx.Module):
         x = (x.astype(jnp.float32) + attn_x.astype(jnp.float32) * gate[:, None]).astype(x.dtype)
         ctx = (ctx.astype(jnp.float32) + attn_c.astype(jnp.float32) * cgate[:, None]).astype(ctx.dtype)
 
-        norm_x = (self.norm2.fp32(x) * (1 + sc_mlp[:, None]) + sh_mlp[:, None]).astype(x.dtype)
-        norm_c = (self.norm2_context.fp32(ctx) * (1 + csc_mlp[:, None]) + csh_mlp[:, None]).astype(ctx.dtype)
+        norm_x = self.norm2.modulated(x, sc_mlp, sh_mlp)
+        norm_c = self.norm2_context.modulated(ctx, csc_mlp, csh_mlp)
         x = (x.astype(jnp.float32) + self.ff(norm_x).astype(jnp.float32) * gate_mlp[:, None]).astype(x.dtype)
         ctx = (ctx.astype(jnp.float32) + self.ff_context(norm_c).astype(jnp.float32) * cgate_mlp[:, None]).astype(ctx.dtype)
         return x, ctx, scores
@@ -307,7 +307,7 @@ class HunyuanSingleBlock(nnx.Module):
         joint = jnp.concatenate([x, ctx], axis=1)
         residual = joint
         sh, sc, gate = self.norm_mod(temb)
-        norm_j = (self.norm.fp32(joint) * (1 + sc[:, None]) + sh[:, None]).astype(joint.dtype)
+        norm_j = self.norm.modulated(joint, sc, sh)
         mlp = jax.nn.gelu(self.proj_mlp(norm_j), approximate=True)
 
         scores = None
@@ -547,7 +547,7 @@ class HunyuanModel(nnx.Module):
 
         def head(hx):
             sc, sh = self.norm_out_mod(temb)  # AdaLayerNormContinuous: scale first
-            out = (self.norm_out.fp32(hx) * (1 + sc[:, None]) + sh[:, None]).astype(hx.dtype)
+            out = self.norm_out.modulated(hx, sc, sh)
             return self.proj_out(out)
 
         out = head(x)

@@ -219,15 +219,13 @@ class WanBlock(nnx.Module):
         sp_axis: Optional[str] = None,
     ):
         mod = self.scale_shift_table[...] + temb6.astype(jnp.float32)
-        shift_msa, scale_msa, gate_msa, c_shift, c_scale, c_gate = [
-            mod[:, i][:, None, :] for i in range(6)
-        ]
+        gate_msa, c_gate = mod[:, 2][:, None, :], mod[:, 5][:, None, :]
 
         scores = None
         if routing_mode != "off":
             scores = self.router(temb_raw)
 
-        norm_x = (self.norm1.fp32(x) * (1 + scale_msa) + shift_msa).astype(x.dtype)
+        norm_x = self.norm1.modulated(x, mod[:, 1], mod[:, 0])
         attn_out = self.attn1(
             norm_x, rope, attn_cfg, scores, routing_mode, interpret, sp_axis
         )
@@ -236,7 +234,7 @@ class WanBlock(nnx.Module):
         norm_x = self.norm2(x)
         x = x + self.attn2(norm_x, context, image_context, interpret)
 
-        norm_x = (self.norm3.fp32(x) * (1 + c_scale) + c_shift).astype(x.dtype)
+        norm_x = self.norm3.modulated(x, mod[:, 4], mod[:, 3])
         ff_out = self.ffn(norm_x)
         x = (x.astype(jnp.float32) + ff_out.astype(jnp.float32) * c_gate).astype(x.dtype)
         return x, scores
@@ -458,8 +456,7 @@ class WanModel(nnx.Module):
         # output head
         def head(hx):
             mod = self.scale_shift_table[...] + temb.astype(jnp.float32)[:, None, :]
-            shift, scale = mod[:, 0][:, None], mod[:, 1][:, None]
-            out = (self.norm_out.fp32(hx) * (1 + scale) + shift).astype(hx.dtype)
+            out = self.norm_out.modulated(hx, mod[:, 1], mod[:, 0])
             return self.proj_out(out)
 
         out = head(x)

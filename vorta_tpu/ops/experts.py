@@ -179,6 +179,11 @@ def padded_dense_attention(
     Pads both sides to kernel blocks and masks the padded kv tail.
     """
     sq, skv = q.shape[2], k.shape[2]
+    if skv <= 512 and sq >= 8192:
+        # short-KV case (cross-attention to text): per-grid-cell bookkeeping
+        # dominates the one tiny kv step, so make q blocks big to cut the
+        # cell count (measured 3.5 -> ~1 ms/block at Wan 720p)
+        block_q = 2048
     block_q = min(block_q, max(8, 1 << (sq - 1).bit_length()))
     block_kv = min(block_kv, max(8, 1 << (skv - 1).bit_length()))
     nq, nkv = cdiv(sq, block_q), cdiv(skv, block_kv)

@@ -69,6 +69,9 @@ def _kernel(
     tile: Shape3,
     win_eff: Shape3,  # effective window in tiles per axis
     hg: int,  # heads per grid cell
+    q_mult: int,  # q tiles per grid cell along t (supertiling)
+    h_sub: int,  # KV chunks per h-tile (shrinks VMEM scores when q_mult > 1)
+    two_chain: bool,  # interleave chunk pairs over two softmax chains
     text_len: int,  # 0 = video-only; >0 adds a dense text-KV tail
     cast_p_to_v_dtype: bool,
 ):
@@ -97,10 +100,11 @@ def _kernel(
     g = pl.program_id(1)
     i = pl.program_id(2)
     tt, th, tw = tile
-    tpt = tt * th * tw
+    tpt = q_mult * tt * th * tw  # q rows per cell (q_mult t-tiles)
     d = q_ref.shape[-1]
     bw = win_eff[2] * tw  # whole w-window per chunk
-    n_chunks = win_eff[0] * win_eff[1]
+    th_c = th // h_sub  # chunk h-rows
+    n_chunks = win_eff[0] * win_eff[1] * h_sub
 
     t0 = starts_ref[i, 0]
     h0 = starts_ref[i, 1]
@@ -112,12 +116,15 @@ def _kernel(
         group_any = group_any | active_ref[g * hg + hi]
 
     def chunk_dma(slot, j):
-        dt = j // win_eff[1]
-        dh = j - dt * win_eff[1]
+        dt = j // (win_eff[1] * h_sub)
+        rem = j - dt * (win_eff[1] * h_sub)
+        dh = rem // h_sub
+        hs = rem - dh * h_sub
+        hoff = h0 + dh * th + hs * th_c
         k_copy = pltpu.make_async_copy(
             k_hbm.at[
                 b, pl.ds(g * hg, hg),
-                pl.ds(t0 + dt * tt, tt), pl.ds(h0 + dh * th, th),
+                pl.ds(t0 + dt * tt, tt), pl.ds(hoff, th_c),
                 pl.ds(w0, bw), :,
             ],
             k_buf.at[slot],
@@ -126,7 +133,7 @@ def _kernel(
         v_copy = pltpu.make_async_copy(
             v_hbm.at[
                 b, pl.ds(g * hg, hg),
-                pl.ds(t0 + dt * tt, tt), pl.ds(h0 + dh * th, th),
+                pl.ds(t0 + dt * tt, tt), pl.ds(hoff, th_c),
                 pl.ds(w0, bw), :,
             ],
             v_buf.at[slot],
@@ -162,7 +169,7 @@ def _kernel(
             kc, vc = chunk_dma(slot, j)
             kc.wait()
             vc.wait()
-            k = k_buf[slot].reshape(hg, tt * th * bw, d)
+            k = k_buf[slot].reshape(hg, tt * th_c * bw, d)
             s = jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -179,7 +186,7 @@ def _kernel(
             alpha = jnp.exp2(m_prev - m_new)
             l_s[chain] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
             m_s[chain] = m_new
-            v = v_buf[slot].reshape(hg, tt * th * bw, d)
+            v = v_buf[slot].reshape(hg, tt * th_c * bw, d)
             if cast_p_to_v_dtype and v.dtype != jnp.float32:
                 p = p.astype(v.dtype)
             acc_s[chain] = acc_s[chain] * alpha + jax.lax.dot_general(
@@ -192,6 +199,8 @@ def _kernel(
         # q@k (MXU) has no dependency on chain A's softmax (VPU): the
         # scheduler can overlap them instead of serializing
         # MXU -> VPU -> MXU per chunk (the round-1 bottleneck: 62% MXU util).
+        # With big supertiled cells (two live f32 score matrices would blow
+        # scoped VMEM) a single chain is used instead.
         def pair_body(jp, _):
             j = 2 * jp
             s_a, slot_a = qk(j)
@@ -217,11 +226,26 @@ def _kernel(
 
             return 0
 
-        jax.lax.fori_loop(0, n_chunks // 2, pair_body, 0)
-        if n_chunks % 2:
-            j = n_chunks - 1
+        def single_body(j, _):
             s_a, slot_a = qk(j)
             soft_pv(0, s_a, slot_a)
+
+            @pl.when(j + n_slots < n_chunks)
+            def _prefetch():
+                kc, vc = chunk_dma(jax.lax.rem(j + n_slots, n_slots), j + n_slots)
+                kc.start()
+                vc.start()
+
+            return 0
+
+        if two_chain:
+            jax.lax.fori_loop(0, n_chunks // 2, pair_body, 0)
+            if n_chunks % 2:
+                j = n_chunks - 1
+                s_a, slot_a = qk(j)
+                soft_pv(0, s_a, slot_a)
+        else:
+            jax.lax.fori_loop(0, n_chunks, single_body, 0)
 
         # merge chain B into chain A (standard two-partials flash combine)
         m_a, m_b = m_s[0], m_s[1]
@@ -337,7 +361,53 @@ def sta_window_attention(
     hg = _heads_per_cell(n_heads, tpt, tt * th * bw, d, q.dtype.itemsize)
     n_groups = n_heads // hg
 
-    starts = jnp.asarray(window_starts(latent_shape, tile, window))
+    starts_np = window_starts(latent_shape, tile, window)
+    # t-supertiling: when adjacent t-tile pairs have IDENTICAL clamped
+    # windows (e.g. Wan 720p: nt=4, win=3 -> starts 0,0,1,1), one grid cell
+    # serves both q tiles — the shared KV window is fetched once (halves the
+    # dominant DMA traffic) and the q rows double (fuller MXU).  Exact: the
+    # visited KV set per q row is unchanged.
+    st_t = [
+        min(max(ti - window[0] // 2, 0), nt - win_eff[0]) for ti in range(nt)
+    ]
+
+    def vmem_est(qm, hs, chains):
+        th_c = th // hs
+        chunk = tt * th_c * bw
+        return (
+            2 * chains * qm * tpt * chunk * 4  # live f32 score matrices (x2 margin)
+            + qm * tpt * chunk * 2             # bf16 p copy
+            + 4 * chunk * d * 2 * 2            # 4-slot k+v buffers
+            + 2 * qm * tpt * d * 4             # two acc chains
+            + 4 * qm * tpt * d * 2             # q/out double buffers
+        )
+
+    pairable = nt % 2 == 0 and all(
+        st_t[2 * i] == st_t[2 * i + 1] for i in range(nt // 2)
+    )
+    # prefer doubled q rows (halves KV DMA, fuller MXU); shrink the KV chunk
+    # (h_sub) until the two live score matrices fit scoped VMEM
+    h_divs = [x for x in range(1, th + 1) if th % x == 0]
+    budget = 12 * 2**20
+    # Preference (measured at Wan 720p, all-heads): plain two-chain 49.7 ms;
+    # t-supertiled single-chain 50.7 ms; supertiled two-chain w/ shrunken
+    # chunks 61.3 ms — the kernel is softmax-chain-bound, not DMA-bound, so
+    # halving KV traffic does not pay for losing the MXU/VPU interleave.
+    # Supertiling + h_sub remain as VMEM fallbacks for fat geometries.
+    q_mult, h_sub, two_chain = 1, 1, True
+    if vmem_est(1, 1, 2) >= budget:
+        if pairable and vmem_est(2, 1, 1) < budget:
+            q_mult, two_chain = 2, False
+        else:
+            for hs in h_divs:
+                if vmem_est(1, hs, 2) < budget:
+                    h_sub = hs
+                    break
+    if q_mult == 2:
+        starts_np = starts_np.reshape(nt, nh, nw, 3)[::2].reshape(-1, 3)
+        n_tiles //= 2
+        nt //= 2
+    starts = jnp.asarray(starts_np)
     q6 = q.reshape(b, n_heads, t, hh, w, d)
     k6 = k.reshape(b, n_heads, t, hh, w, d)
     v6 = v.reshape(b, n_heads, t, hh, w, d)
@@ -356,6 +426,9 @@ def sta_window_attention(
         tile=tile,
         win_eff=win_eff,
         hg=hg,
+        q_mult=q_mult,
+        h_sub=h_sub,
+        two_chain=two_chain,
         text_len=text_len,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
     )
@@ -368,19 +441,21 @@ def sta_window_attention(
         return (bb, gg, ti, hi, wi, 0)
 
     in_specs = [
-        pl.BlockSpec((1, hg, tt, th, tw, d), q_map),
+        pl.BlockSpec((1, hg, q_mult * tt, th, tw, d), q_map),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [q6, k6, v6]
-    n_chunks_total = win_eff[0] * win_eff[1]
+    n_chunks_total = win_eff[0] * win_eff[1] * h_sub
     n_slots = min(4, max(2, n_chunks_total))
+    tpt_q = q_mult * tpt
+    th_c = th // h_sub
     scratch = [
-        pltpu.VMEM((2, hg, tpt, 1), jnp.float32),
-        pltpu.VMEM((2, hg, tpt, 1), jnp.float32),
-        pltpu.VMEM((2, hg, tpt, d), jnp.float32),
-        pltpu.VMEM((n_slots, hg, tt, th, bw, d), k.dtype),
-        pltpu.VMEM((n_slots, hg, tt, th, bw, d), v.dtype),
+        pltpu.VMEM((2, hg, tpt_q, 1), jnp.float32),
+        pltpu.VMEM((2, hg, tpt_q, 1), jnp.float32),
+        pltpu.VMEM((2, hg, tpt_q, d), jnp.float32),
+        pltpu.VMEM((n_slots, hg, tt, th_c, bw, d), k.dtype),
+        pltpu.VMEM((n_slots, hg, tt, th_c, bw, d), v.dtype),
     ]
     if text_len:
         in_specs += [
@@ -399,10 +474,10 @@ def sta_window_attention(
         num_scalar_prefetch=2,
         grid=(b, n_groups, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hg, tt, th, tw, d), q_map),
+        out_specs=pl.BlockSpec((1, hg, q_mult * tt, th, tw, d), q_map),
         scratch_shapes=scratch,
     )
-    n_chunks = win_eff[0] * win_eff[1]
+    n_chunks = n_chunks_total
     out6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -411,7 +486,7 @@ def sta_window_attention(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=int(b * n_heads * n_tiles * n_chunks * 4 * tpt * tt * th * bw * d),
+            flops=int(b * n_heads * n_tiles * n_chunks * 4 * tpt_q * tt * th * bw * d),
             bytes_accessed=int(q.size * q.dtype.itemsize * 3),
             transcendentals=int(b * n_heads * s * (n_chunks + (1 if text_len else 0))),
         ),
