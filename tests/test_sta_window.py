@@ -55,8 +55,26 @@ def geom():
 def test_supports():
     assert supports_window_dense((20, 45, 80), (5, 9, 8))
     assert supports_window_dense((30, 45, 80), (6, 9, 8))
-    assert not supports_window_dense((20, 30, 52), (4, 6, 4))  # tw % 8 != 0
+    assert supports_window_dense((20, 30, 52), (4, 6, 4))  # misaligned tw ok
     assert not supports_window_dense((20, 45, 80), (3, 9, 8))  # 3 !| 20
+
+
+def test_misaligned_tile_w_matches_oracle():
+    """tile_w % 8 != 0 (the reference 480p geometry class): the kernel DMAs
+    an 8-aligned superset window and masks slack columns with a bias."""
+    latent, tile, window = (8, 6, 20), (2, 3, 4), (3, 3, 3)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    out = sta_window_attention(
+        q, k, v, jnp.ones((h,), jnp.int32),
+        latent_shape=latent, tile=tile, window=window, interpret=True,
+    )
+    ref = dense_sta_oracle(q, k, v, latent, tile, window)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
 def test_window_starts_clamping():

@@ -254,9 +254,9 @@ def joint_sta_attention(
     shape, tile = cfg.latent_shape, cfg.sta_tile
     if active is None:
         active = jnp.ones((h,), bool)
-    from .sta_window import supports_window_dense
+    from .sta_window import prefer_window_dense
 
-    if supports_window_dense(shape, tile) and jcfg.text_len % 8 == 0:
+    if prefer_window_dense(shape, tile) and jcfg.text_len % 8 == 0:
         return _joint_sta_window_dense(
             qv, kv_, vv, qt, kt, vt, text_mask, jcfg, active, scale, interpret
         )

@@ -31,7 +31,7 @@ from .coreset import pool_by_similarity, unpool_by_similarity
 from .experts import FULL, LOWRES, STA, lowres_groups_for
 from .flash_manual import sparse_flash_attention_manual
 from .layout import tile_sequence, untile_sequence
-from .sta_window import sta_window_attention, supports_window_dense
+from .sta_window import prefer_window_dense, sta_window_attention
 
 
 class ExpertCall(NamedTuple):
@@ -238,7 +238,7 @@ def fused_routed_attention(
     def sta_branch():
         active = expert_id == STA
         shape, tile = cfg.latent_shape, cfg.sta_tile
-        if supports_window_dense(shape, tile):
+        if prefer_window_dense(shape, tile):
             # window-dense kernel: reads the clamped 3D window straight out
             # of raster-order K/V via box DMAs — no tile relayout, no pair
             # bits, per-head skip of unrouted heads (no packing permutes)

@@ -72,6 +72,8 @@ def _kernel(
     q_mult: int,  # q tiles per grid cell along t (supertiling)
     h_sub: int,  # KV chunks per h-tile (shrinks VMEM scores when q_mult > 1)
     two_chain: bool,  # interleave chunk pairs over two softmax chains
+    bw_pad: int,  # DMA w-span per chunk (== bw when tile_w is 8-aligned)
+    q_raster: bool,  # q/out blocks carved from the raster 6-D view
     text_len: int,  # 0 = video-only; >0 adds a dense text-KV tail
     cast_p_to_v_dtype: bool,
 ):
@@ -108,7 +110,17 @@ def _kernel(
 
     t0 = starts_ref[i, 0]
     h0 = starts_ref[i, 1]
-    w0 = pl.multiple_of(starts_ref[i, 2], 8)
+    if bw_pad == bw:
+        # every w start is a multiple of 8 (tile_w % 8 == 0): box DMA reads
+        # exactly the window, no masking
+        wdma = pl.multiple_of(starts_ref[i, 2], 8)
+        w_off = None
+    else:
+        # misaligned tile_w: read the 8-aligned superset [a0, a0 + bw_pad)
+        # and mask the columns outside the true window with a logits bias
+        w0 = starts_ref[i, 2]
+        wdma = pl.multiple_of(w0 - jax.lax.rem(w0, 8), 8)
+        w_off = w0 - wdma
     # skip cells whose whole head group is inactive (callers pack routed
     # heads first, so inactive groups are contiguous at the end)
     group_any = active_ref[g * hg]
@@ -125,7 +137,7 @@ def _kernel(
             k_hbm.at[
                 b, pl.ds(g * hg, hg),
                 pl.ds(t0 + dt * tt, tt), pl.ds(hoff, th_c),
-                pl.ds(w0, bw), :,
+                pl.ds(wdma, bw_pad), :,
             ],
             k_buf.at[slot],
             dma_sems.at[slot, 0],
@@ -134,7 +146,7 @@ def _kernel(
             v_hbm.at[
                 b, pl.ds(g * hg, hg),
                 pl.ds(t0 + dt * tt, tt), pl.ds(hoff, th_c),
-                pl.ds(w0, bw), :,
+                pl.ds(wdma, bw_pad), :,
             ],
             v_buf.at[slot],
             dma_sems.at[slot, 1],
@@ -162,20 +174,37 @@ def _kernel(
             kc.start()
             vc.start()
 
-        q = q_ref[0].reshape(hg, tpt, d)  # free: tw % 8 == 0
+        if q_raster:
+            q = q_ref[0].reshape(hg, tpt, d)  # free: tw % 8 == 0
+        else:
+            # tile-major q layout (misaligned tile_w): block is already
+            # (hg, tpt, d) — no reshape, no alignment constraint
+            q = q_ref[0, :, 0]
+        n_cols = tt * th_c * bw_pad
+        col_bias = None
+        if w_off is not None:
+            colw = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1), bw_pad
+            )
+            col_bias = jnp.where(
+                (colw >= w_off) & (colw < w_off + bw), 0.0, NEG_INF
+            )  # (1, n_cols) f32, shared by every chunk of this cell
 
         def qk(j):
             slot = jax.lax.rem(j, n_slots)
             kc, vc = chunk_dma(slot, j)
             kc.wait()
             vc.wait()
-            k = k_buf[slot].reshape(hg, tt * th_c * bw, d)
+            k = k_buf[slot].reshape(hg, n_cols, d)
             s = jax.lax.dot_general(
                 q, k,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )  # (hg, tpt, N)
-            return s * (scale * LOG2E), slot
+            s = s * (scale * LOG2E)
+            if col_bias is not None:
+                s = s + col_bias[None]
+            return s, slot
 
         def soft_pv(chain, s, slot):
             """Online-softmax update of chain ``chain`` with scores ``s``."""
@@ -186,7 +215,7 @@ def _kernel(
             alpha = jnp.exp2(m_prev - m_new)
             l_s[chain] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
             m_s[chain] = m_new
-            v = v_buf[slot].reshape(hg, tt * th_c * bw, d)
+            v = v_buf[slot].reshape(hg, n_cols, d)
             if cast_p_to_v_dtype and v.dtype != jnp.float32:
                 p = p.astype(v.dtype)
             acc_s[chain] = acc_s[chain] * alpha + jax.lax.dot_general(
@@ -294,16 +323,38 @@ def _kernel(
     # zero non-routed heads (SMEM scalar loads only -> static per-head loop)
     for hi in range(hg):
         a = (active_ref[g * hg + hi] > 0).astype(jnp.float32)
-        out_ref[0, hi] = (out[hi] * a).reshape(out_ref.shape[2:]).astype(out_ref.dtype)
+        if q_raster:
+            out_ref[0, hi] = (
+                (out[hi] * a).reshape(out_ref.shape[2:]).astype(out_ref.dtype)
+            )
+        else:
+            out_ref[0, hi, 0] = (out[hi] * a).astype(out_ref.dtype)
 
 
 def supports_window_dense(latent_shape: Shape3, tile: Shape3) -> bool:
-    """Mosaic box-DMA + free-reshape constraints for this geometry."""
+    """Box-DMA constraint for this geometry: tiles must divide the grid.
+
+    tile_w need not be 8-aligned any more: misaligned windows read an
+    8-aligned superset box and mask the slack columns with a logits bias
+    (the reference 480p geometry, tile [4, 6, 4], takes this path)."""
     t, h, w = latent_shape
     tt, th, tw = tile
     if t % tt or h % th or w % tw:
         return False
-    return tw % 8 == 0
+    # misaligned path carves q/out blocks at tile granularity
+    return tw % 8 == 0 or (tt * th * tw) % 8 == 0
+
+
+def prefer_window_dense(latent_shape: Shape3, tile: Shape3) -> bool:
+    """Kernel choice heuristic for routed/joint STA callers.
+
+    The window-dense kernel runs one grid cell per q tile; with small tiles
+    the per-cell overhead dominates (Wan 480p, 96-token tiles: 1.24x e2e vs
+    the tiled pair-bits fallback's 1.27x).  Use it only when tiles are big
+    enough to amortize the cell (>= 192 tokens; Wan 720p has 360, Hunyuan
+    720p has 384)."""
+    tt, th, tw = tile
+    return supports_window_dense(latent_shape, tile) and tt * th * tw >= 192
 
 
 def _heads_per_cell(h: int, tpt: int, bw_chunk: int, d: int, itemsize: int) -> int:
@@ -346,7 +397,7 @@ def sta_window_attention(
     if not supports_window_dense(latent_shape, tile):
         raise ValueError(
             f"geometry (latent {latent_shape}, tile {tile}) unsupported: "
-            "tile_w must be a multiple of 8 and tiles must divide the grid"
+            "tiles must divide the latent grid"
         )
     if d % 128 and not interpret:
         raise ValueError(f"head_dim {d} must be a multiple of 128 on TPU")
@@ -371,9 +422,11 @@ def sta_window_attention(
         min(max(ti - window[0] // 2, 0), nt - win_eff[0]) for ti in range(nt)
     ]
 
+    bw_est = bw if tw % 8 == 0 else -(-(bw + 7) // 8) * 8
+
     def vmem_est(qm, hs, chains):
         th_c = th // hs
-        chunk = tt * th_c * bw
+        chunk = tt * th_c * bw_est
         return (
             2 * chains * qm * tpt * chunk * 4  # live f32 score matrices (x2 margin)
             + qm * tpt * chunk * 2             # bf16 p copy
@@ -382,7 +435,7 @@ def sta_window_attention(
             + 4 * qm * tpt * d * 2             # q/out double buffers
         )
 
-    pairable = nt % 2 == 0 and all(
+    pairable = tw % 8 == 0 and nt % 2 == 0 and all(
         st_t[2 * i] == st_t[2 * i + 1] for i in range(nt // 2)
     )
     # prefer doubled q rows (halves KV DMA, fuller MXU); shrink the KV chunk
@@ -411,6 +464,20 @@ def sta_window_attention(
     q6 = q.reshape(b, n_heads, t, hh, w, d)
     k6 = k.reshape(b, n_heads, t, hh, w, d)
     v6 = v.reshape(b, n_heads, t, hh, w, d)
+    if tw % 8 == 0:
+        bw_pad = bw
+    else:
+        # w starts are multiples of tile_w; DMA from the aligned floor and
+        # span enough 8-columns to cover the worst-case offset
+        w_starts = starts_np[:, 2]
+        offs = w_starts % 8
+        bw_pad = -(-(int(offs.max()) + bw) // 8) * 8
+        need_w = int((w_starts - offs).max()) + bw_pad
+        if need_w > w:
+            pad = [(0, 0)] * 6
+            pad[4] = (0, need_w - w)
+            k6 = jnp.pad(k6, pad)
+            v6 = jnp.pad(v6, pad)
     text_len = 0
     if text_k is not None:
         text_len = text_k.shape[2]
@@ -420,6 +487,7 @@ def sta_window_attention(
             text_bias = jnp.zeros((1, text_len), jnp.float32)
         text_bias = text_bias.astype(jnp.float32).reshape(1, text_len)
 
+    q_raster = tw % 8 == 0
     kernel = functools.partial(
         _kernel,
         scale=float(scale),
@@ -429,6 +497,8 @@ def sta_window_attention(
         q_mult=q_mult,
         h_sub=h_sub,
         two_chain=two_chain,
+        bw_pad=bw_pad,
+        q_raster=q_raster,
         text_len=text_len,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
     )
@@ -440,12 +510,28 @@ def sta_window_attention(
         wi = rem - hi * nw
         return (bb, gg, ti, hi, wi, 0)
 
+    if q_raster:
+        q_spec = pl.BlockSpec((1, hg, q_mult * tt, th, tw, d), q_map)
+        q_in = q6
+    else:
+        # misaligned tile_w: Mosaic rejects w-blocks that are not 8-aligned,
+        # so q/out travel in tile-major layout (two small relayouts of q and
+        # out only — K/V stay raster and relayout-free)
+        from .layout import tile_sequence
+
+        q_in = tile_sequence(q, latent_shape, tile).reshape(
+            b, n_heads, n_tiles, tpt, d
+        )
+        q_spec = pl.BlockSpec(
+            (1, hg, 1, tpt, d), lambda bb, gg, ii, *r: (bb, gg, ii, 0, 0)
+        )
+
     in_specs = [
-        pl.BlockSpec((1, hg, q_mult * tt, th, tw, d), q_map),
+        q_spec,
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    inputs = [q6, k6, v6]
+    inputs = [q_in, k6, v6]
     n_chunks_total = win_eff[0] * win_eff[1] * h_sub
     n_slots = min(4, max(2, n_chunks_total))
     tpt_q = q_mult * tpt
@@ -454,8 +540,8 @@ def sta_window_attention(
         pltpu.VMEM((2, hg, tpt_q, 1), jnp.float32),
         pltpu.VMEM((2, hg, tpt_q, 1), jnp.float32),
         pltpu.VMEM((2, hg, tpt_q, d), jnp.float32),
-        pltpu.VMEM((n_slots, hg, tt, th_c, bw, d), k.dtype),
-        pltpu.VMEM((n_slots, hg, tt, th_c, bw, d), v.dtype),
+        pltpu.VMEM((n_slots, hg, tt, th_c, bw_pad, d), k.dtype),
+        pltpu.VMEM((n_slots, hg, tt, th_c, bw_pad, d), v.dtype),
     ]
     if text_len:
         in_specs += [
@@ -470,18 +556,26 @@ def sta_window_attention(
             pltpu.SemaphoreType.DMA((2,)),
         ]
     scratch.append(pltpu.SemaphoreType.DMA((n_slots, 2)))
+    if q_raster:
+        out_spec = pl.BlockSpec((1, hg, q_mult * tt, th, tw, d), q_map)
+        out_shape = jax.ShapeDtypeStruct(q6.shape, q.dtype)
+    else:
+        out_spec = pl.BlockSpec(
+            (1, hg, 1, tpt, d), lambda bb, gg, ii, *r: (bb, gg, ii, 0, 0)
+        )
+        out_shape = jax.ShapeDtypeStruct((b, n_heads, n_tiles, tpt, d), q.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, n_groups, n_tiles),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hg, q_mult * tt, th, tw, d), q_map),
+        out_specs=out_spec,
         scratch_shapes=scratch,
     )
     n_chunks = n_chunks_total
     out6 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q6.shape, q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
@@ -492,4 +586,10 @@ def sta_window_attention(
         ),
         interpret=interpret,
     )(starts, active.astype(jnp.int32), *inputs)
+    if not q_raster:
+        from .layout import untile_sequence
+
+        return untile_sequence(
+            out6.reshape(b, n_heads, s, d), latent_shape, tile
+        )
     return out6.reshape(b, n_heads, s, d)
