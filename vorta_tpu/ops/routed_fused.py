@@ -226,14 +226,39 @@ def fused_routed_attention(
         )[:, :, :s]
 
     def lowres_branch():
-        active = expert_id == LOWRES
-        pq, matching = pool_by_similarity(q, groups)
-        pk, _ = pool_by_similarity(k, groups, matching)
-        pv, _ = pool_by_similarity(v, groups, matching)
-        out_p = _masked_call(
-            geo.lowres, pq, pk, pv, active, geo.tokens_per_tile, scale, interpret
-        )[:, :, : groups.pooled_length]
-        return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
+        # Per-HEAD cond: pooling/unpooling is pure data movement whose cost
+        # cannot be masked away inside a joint kernel call (unlike the
+        # attention rows), so each head pools only if the router actually
+        # sent it here — a head's whole lowres pipeline (pool q/k/v ->
+        # pooled attention -> unpool) runs under its own lax.cond and
+        # inactive heads cost one zeros-fill.  With the reference-recipe
+        # trained router (~39% lowres heads) this turns the ~24 ms/block
+        # all-heads pooling into a proportional cost.
+        def one_head(hh):
+            def on():
+                qh = q[:, hh : hh + 1]
+                kh = k[:, hh : hh + 1]
+                vh = v[:, hh : hh + 1]
+                pq, matching = pool_by_similarity(qh, groups)
+                pk, _ = pool_by_similarity(kh, groups, matching)
+                pv, _ = pool_by_similarity(vh, groups, matching)
+                out_p = _masked_call(
+                    geo.lowres, pq, pk, pv,
+                    jnp.ones((1,), bool), geo.tokens_per_tile, scale, interpret,
+                )[:, :, : groups.pooled_length]
+                return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
+
+            return jax.lax.cond(
+                expert_id[hh] == LOWRES,
+                on,
+                lambda: jnp.zeros(
+                    (q.shape[0], 1, q.shape[2], q.shape[3]), q.dtype
+                ),
+            )
+
+        return jnp.concatenate(
+            [one_head(hh) for hh in range(q.shape[1])], axis=1
+        )
 
     def sta_branch():
         active = expert_id == STA
