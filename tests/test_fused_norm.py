@@ -91,3 +91,51 @@ def test_module_wiring():
     np.testing.assert_allclose(
         np.asarray(rn(x), np.float32), want_r, rtol=2e-2, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("gate", [False, True])
+@pytest.mark.parametrize("mod", [False, True])
+def test_residual_norm_matches_unfused(gate, mod):
+    from vorta_tpu.ops.fused_norm import _res_norm_ref, fused_residual_norm
+
+    rng = np.random.default_rng(4)
+    b, s, dim = 2, 24, 128
+    x = jnp.asarray(rng.standard_normal((b, s, dim)), jnp.bfloat16)
+    delta = jnp.asarray(rng.standard_normal((b, s, dim)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32) if gate else None
+    sc = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32) if mod else None
+    sh = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32) if mod else None
+    xn, y = fused_residual_norm(x, delta, g, sc, sh, None, None, 1e-6)
+    xn_r, y_r = _res_norm_ref(x, delta, g, sc, sh, None, None, 1e-6)
+    np.testing.assert_allclose(np.asarray(xn, np.float32), np.asarray(xn_r, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(y, np.float32), np.asarray(y_r, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_residual_norm_backward():
+    from vorta_tpu.ops.fused_norm import _res_norm_ref, fused_residual_norm
+
+    rng = np.random.default_rng(5)
+    b, s, dim = 1, 16, 128
+    x = jnp.asarray(rng.standard_normal((b, s, dim)), jnp.float32)
+    delta = jnp.asarray(rng.standard_normal((b, s, dim)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32)
+    sc = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32)
+    sh = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((b, s, dim)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((b, s, dim)), jnp.float32)
+
+    def via_fused(x, delta, g, sc, sh):
+        xn, y = fused_residual_norm(x, delta, g, sc, sh, None, None, 1e-6)
+        return jnp.sum(xn * w1) + jnp.sum(y * w2)
+
+    def via_ref(x, delta, g, sc, sh):
+        xn, y = _res_norm_ref(x, delta, g, sc, sh, None, None, 1e-6)
+        return jnp.sum(xn * w1) + jnp.sum(y * w2)
+
+    gf = jax.grad(via_fused, argnums=(0, 1, 2, 3, 4))(x, delta, g, sc, sh)
+    gr = jax.grad(via_ref, argnums=(0, 1, 2, 3, 4))(x, delta, g, sc, sh)
+    for a, bb in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=2e-4, atol=2e-4)

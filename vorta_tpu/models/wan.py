@@ -229,6 +229,9 @@ class WanBlock(nnx.Module):
         attn_out = self.attn1(
             norm_x, rope, attn_cfg, scores, routing_mode, interpret, sp_axis
         )
+        # residual adds stay in XLA: wiring ops.fused_norm.fused_residual_norm
+        # here measured ~1% SLOWER e2e (kernel boundaries break the
+        # producer/consumer fusions XLA builds around the adds)
         x = (x.astype(jnp.float32) + attn_out.astype(jnp.float32) * gate_msa).astype(x.dtype)
 
         norm_x = self.norm2(x)

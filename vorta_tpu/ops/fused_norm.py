@@ -227,3 +227,137 @@ def adaln_layernorm(x, scale, shift, eps=1e-6, gamma=None, beta=None):
 
 def rmsnorm(x, weight, eps=1e-6):
     return fused_norm(x, None, None, weight, None, True, eps, False)
+
+
+# ---- residual + norm fusion --------------------------------------------------
+
+def _res_kernel(x_ref, d_ref, *rest, rms: bool, eps: float, has_gate: bool,
+                has_mod: bool, has_affine: bool, has_beta: bool):
+    it = iter(rest)
+    gate_ref = next(it) if has_gate else None  # (1, dim) f32
+    scale_ref = next(it) if has_mod else None
+    shift_ref = next(it) if has_mod else None
+    gamma_ref = next(it) if has_affine else None
+    beta_ref = next(it) if has_beta else None
+    xnew_ref = next(it)
+    y_ref = next(it)
+
+    x = x_ref[0].astype(jnp.float32)
+    dl = d_ref[0].astype(jnp.float32)
+    if has_gate:
+        dl = dl * gate_ref[0][None, :]
+    xn = x + dl
+    xnew_ref[0] = xn.astype(xnew_ref.dtype)
+    # norm statistics on the ROUNDED residual so the normed output matches
+    # norm(x_new.astype(dtype)) exactly (what the unfused code computes)
+    xn = xnew_ref[0].astype(jnp.float32)
+    mean = jnp.mean(xn, axis=-1, keepdims=True)
+    xc = xn - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps)
+    if has_affine:
+        y = y * gamma_ref[0][None, :]
+        if beta_ref is not None:
+            y = y + beta_ref[0][None, :]
+    if has_mod:
+        y = y * (1.0 + scale_ref[0][None, :]) + shift_ref[0][None, :]
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _res_norm_ref(x, delta, gate, scale, shift, gamma, beta, eps):
+    xf = x.astype(jnp.float32)
+    df = delta.astype(jnp.float32)
+    if gate is not None:
+        df = df * gate.astype(jnp.float32)[:, None, :]
+    x_new = (xf + df).astype(x.dtype)
+    y = _norm_ref(x_new, scale, shift, gamma, beta, rms=False, eps=eps,
+                  out_f32=False)
+    return x_new, y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_residual_norm(x, delta, gate, scale, shift, gamma, beta, eps: float):
+    """(x + delta * gate, layernorm_fp32(x + delta * gate) modulated).
+
+    One read of x/delta, one write of each output — fuses the residual
+    update with the next norm (the two always appear back-to-back in DiT
+    blocks).  gate/scale/shift: (B, dim) f32 or None; gamma/beta: (dim,).
+
+    NOTE: wiring this into WanBlock measured ~1% slower e2e than XLA's own
+    residual adds (the opaque kernel boundary breaks surrounding fusions),
+    so the models keep XLA residuals; the kernel stays available for
+    memory-constrained contexts where the saved pass matters more.
+    """
+    if not _use_pallas(x):
+        return _res_norm_ref(x, delta, gate, scale, shift, gamma, beta, eps)
+    b, s, dim = x.shape
+    rows = _pick_rows(s, dim)
+    has_gate = gate is not None
+    has_mod = scale is not None
+    has_affine = gamma is not None
+    has_beta = beta is not None
+    kernel = functools.partial(
+        _res_kernel, rms=False, eps=float(eps), has_gate=has_gate,
+        has_mod=has_mod, has_affine=has_affine, has_beta=has_beta,
+    )
+    row_spec = pl.BlockSpec((1, rows, dim), lambda bb, ii: (bb, ii, 0))
+    vec_b = pl.BlockSpec((1, dim), lambda bb, ii: (bb, 0))
+    vec_s = pl.BlockSpec((1, dim), lambda bb, ii: (0, 0))
+    in_specs = [row_spec, row_spec]
+    inputs = [x, delta]
+    if has_gate:
+        in_specs.append(vec_b)
+        inputs.append(gate.astype(jnp.float32))
+    if has_mod:
+        in_specs += [vec_b, vec_b]
+        inputs += [scale.astype(jnp.float32), shift.astype(jnp.float32)]
+    if has_affine:
+        in_specs.append(vec_s)
+        inputs.append(gamma.astype(jnp.float32).reshape(1, dim))
+    if has_beta:
+        in_specs.append(vec_s)
+        inputs.append(beta.astype(jnp.float32).reshape(1, dim))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, s // rows),
+        in_specs=in_specs,
+        out_specs=[row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, dim), x.dtype),
+            jax.ShapeDtypeStruct((b, s, dim), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(*inputs)
+
+
+def _frn_fwd(x, delta, gate, scale, shift, gamma, beta, eps):
+    out = fused_residual_norm(x, delta, gate, scale, shift, gamma, beta, eps)
+    return out, (x, delta, gate, scale, shift, gamma, beta)
+
+
+def _frn_bwd(eps, res, gs):
+    x, delta, gate, scale, shift, gamma, beta = res
+    g_xnew, g_y = gs
+    xf = x.astype(jnp.float32)
+    df = delta.astype(jnp.float32)
+    gatef = gate.astype(jnp.float32)[:, None, :] if gate is not None else None
+    xn = xf + (df * gatef if gatef is not None else df)
+    xn = xn.astype(x.dtype).astype(jnp.float32)  # match forward rounding
+
+    # layernorm backward at xn
+    d_x, d_scale, d_shift, d_gamma, d_beta = _fused_norm_bwd(
+        False, eps, False, (xn.astype(x.dtype), scale, shift, gamma, beta), g_y
+    )
+    d_xnew = g_xnew.astype(jnp.float32) + d_x.astype(jnp.float32)
+    d_delta = d_xnew * gatef if gatef is not None else d_xnew
+    d_gate = (
+        jnp.sum(d_xnew * df, axis=1).astype(gate.dtype)
+        if gate is not None else None
+    )
+    return (d_xnew.astype(x.dtype), d_delta.astype(delta.dtype), d_gate,
+            d_scale, d_shift, d_gamma, d_beta)
+
+
+fused_residual_norm.defvjp(_frn_fwd, _frn_bwd)

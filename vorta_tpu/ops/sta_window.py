@@ -19,11 +19,16 @@ single-head variant measured only 62% MXU utilization from dependency stalls).
 
 Mosaic constraints honored (probed on real TPU, tools/test_boxdma.py):
   * box DMA offsets/sizes on the second-to-last dim (W) must be multiples of
-    the 8-sublane tiling -> requires ``tile_w % 8 == 0`` (the flagship
-    geometries: Wan 720p tile [5,9,8], Hunyuan [6,8,8]); other geometries
-    fall back to the tiled-layout kernel (ops/sta_batched.py)
+    the 8-sublane tiling.  tile_w % 8 geometries (Wan 720p tile [5,9,8],
+    Hunyuan [6,8,8]) read exact windows; misaligned tile_w reads an
+    8-aligned superset box and masks the slack columns with a logits bias,
+    with q/out travelling in tile-major layout (Mosaic also rejects
+    non-8-aligned q blocks)
   * VMEM chunk reshape (hg, tt, th, ww, D) -> (hg, tt*th*ww, D) is free only
     when the merged sublane dim stays 8-aligned (ww = win_w*tile_w)
+
+Small tiles amortize the per-grid-cell cost poorly; callers choose between
+this kernel and the tiled pair-bits fallback via ``prefer_window_dense``.
 """
 
 from __future__ import annotations
