@@ -76,7 +76,7 @@ def _kernel(
     hg: int,  # heads per grid cell
     q_mult: int,  # q tiles per grid cell along t (supertiling)
     h_sub: int,  # KV chunks per h-tile (shrinks VMEM scores when q_mult > 1)
-    two_chain: bool,  # interleave chunk pairs over two softmax chains
+    n_chains: int,  # interleaved independent softmax chains (1, 2, or 4)
     bw_pad: int,  # DMA w-span per chunk (== bw when tile_w is 8-aligned)
     q_raster: bool,  # q/out blocks carved from the raster 6-D view
     text_len: int,  # 0 = video-only; >0 adds a dense text-KV tail
@@ -92,7 +92,7 @@ def _kernel(
     tv_hbm = next(it) if text_len else None
     bias_ref = next(it) if text_len else None  # (1, Lt) f32 in VMEM
     out_ref = next(it)  # (1, hg, tt, th, tw, D)
-    m_s = next(it)  # (2, hg, tpt, 1) f32 — two interleaved softmax chains
+    m_s = next(it)  # (n_chains, hg, tpt, 1) f32 — interleaved softmax chains
     l_s = next(it)
     acc_s = next(it)  # (2, hg, tpt, D) f32
     k_buf = next(it)  # (n_slots, hg, tt, th, bw, D)
@@ -229,66 +229,47 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
 
-        # Chunk pairs feed two independent (m, l, acc) chains so chain B's
-        # q@k (MXU) has no dependency on chain A's softmax (VPU): the
-        # scheduler can overlap them instead of serializing
-        # MXU -> VPU -> MXU per chunk (the round-1 bottleneck: 62% MXU util).
-        # With big supertiled cells (two live f32 score matrices would blow
-        # scoped VMEM) a single chain is used instead.
-        def pair_body(jp, _):
-            j = 2 * jp
-            s_a, slot_a = qk(j)
-            s_b, slot_b = qk(j + 1)
-            soft_pv(0, s_a, slot_a)
-            soft_pv(1, s_b, slot_b)
+        # Chunk groups feed ``n_chains`` independent (m, l, acc) chains so
+        # one chunk's q@k (MXU) has no dependency on another's softmax
+        # (VPU): the scheduler overlaps them instead of serializing
+        # MXU -> VPU -> MXU per chunk (the round-1 bottleneck: 62% MXU
+        # util).  Big supertiled cells (where the live f32 score matrices
+        # would blow scoped VMEM) drop to a single chain.
+        def group_body(jg, _):
+            j0 = n_chains * jg
+            ss = [qk(j0 + c) for c in range(n_chains)]
+            for c, (s_c, slot_c) in enumerate(ss):
+                soft_pv(c, s_c, slot_c)
 
-            # refill the two slots just consumed (prefetch distance n_slots;
+            # refill the slots just consumed (prefetch distance n_slots;
             # issued only after both reads of the slot, so no overwrite race)
-            @pl.when(j + n_slots < n_chunks)
-            def _prefetch_a():
-                kc, vc = chunk_dma(jax.lax.rem(j + n_slots, n_slots), j + n_slots)
-                kc.start()
-                vc.start()
+            for c in range(n_chains):
+                j = j0 + c
 
-            @pl.when(j + 1 + n_slots < n_chunks)
-            def _prefetch_b():
-                kc, vc = chunk_dma(
-                    jax.lax.rem(j + 1 + n_slots, n_slots), j + 1 + n_slots
-                )
-                kc.start()
-                vc.start()
+                @pl.when(j + n_slots < n_chunks)
+                def _prefetch():
+                    kc, vc = chunk_dma(
+                        jax.lax.rem(j + n_slots, n_slots), j + n_slots
+                    )
+                    kc.start()
+                    vc.start()
 
             return 0
 
-        def single_body(j, _):
-            s_a, slot_a = qk(j)
-            soft_pv(0, s_a, slot_a)
+        jax.lax.fori_loop(0, n_chunks // n_chains, group_body, 0)
+        for j in range(n_chunks - n_chunks % n_chains, n_chunks):
+            s_c, slot_c = qk(j)
+            soft_pv(j % n_chains, s_c, slot_c)
 
-            @pl.when(j + n_slots < n_chunks)
-            def _prefetch():
-                kc, vc = chunk_dma(jax.lax.rem(j + n_slots, n_slots), j + n_slots)
-                kc.start()
-                vc.start()
-
-            return 0
-
-        if two_chain:
-            jax.lax.fori_loop(0, n_chunks // 2, pair_body, 0)
-            if n_chunks % 2:
-                j = n_chunks - 1
-                s_a, slot_a = qk(j)
-                soft_pv(0, s_a, slot_a)
-        else:
-            jax.lax.fori_loop(0, n_chunks, single_body, 0)
-
-        # merge chain B into chain A (standard two-partials flash combine)
-        m_a, m_b = m_s[0], m_s[1]
-        m_new = jnp.maximum(m_a, m_b)
-        a_a = jnp.exp2(m_a - m_new)
-        a_b = jnp.exp2(m_b - m_new)
-        m_s[0] = m_new
-        l_s[0] = l_s[0] * a_a + l_s[1] * a_b
-        acc_s[0] = acc_s[0] * a_a + acc_s[1] * a_b
+        # merge all chains into chain 0 (standard flash partials combine)
+        for c in range(1, n_chains):
+            m_a, m_b = m_s[0], m_s[c]
+            m_new = jnp.maximum(m_a, m_b)
+            a_a = jnp.exp2(m_a - m_new)
+            a_b = jnp.exp2(m_b - m_new)
+            m_s[0] = m_new
+            l_s[0] = l_s[0] * a_a + l_s[c] * a_b
+            acc_s[0] = acc_s[0] * a_a + acc_s[c] * a_b
 
         if text_len:
             # dense text tail: every video query sees all (unpadded) text
@@ -433,7 +414,7 @@ def sta_window_attention(
         th_c = th // hs
         chunk = tt * th_c * bw_est
         return (
-            2 * chains * qm * tpt * chunk * 4  # live f32 score matrices (x2 margin)
+            3 * chains * qm * tpt * chunk * 2  # live f32 scores (x1.5 margin)
             + qm * tpt * chunk * 2             # bf16 p copy
             + 4 * chunk * d * 2 * 2            # 4-slot k+v buffers
             + 2 * qm * tpt * d * 4             # two acc chains
@@ -451,15 +432,20 @@ def sta_window_attention(
     # t-supertiled single-chain 50.7 ms; supertiled two-chain w/ shrunken
     # chunks 61.3 ms — the kernel is softmax-chain-bound, not DMA-bound, so
     # halving KV traffic does not pay for losing the MXU/VPU interleave.
+    # More chains interleave deeper as long as the live score matrices fit.
     # Supertiling + h_sub remain as VMEM fallbacks for fat geometries.
-    q_mult, h_sub, two_chain = 1, 1, True
-    if vmem_est(1, 1, 2) >= budget:
+    # chains beyond 2 measured flat (4-chain: 50.6 ms vs 2-chain 49.7 at Wan
+    # 720p) — two suffice to cover the VPU softmax with MXU work
+    q_mult, h_sub, n_chains = 1, 1, 1
+    if vmem_est(1, 1, 2) < budget:
+        n_chains = 2
+    if n_chains == 1:
         if pairable and vmem_est(2, 1, 1) < budget:
-            q_mult, two_chain = 2, False
+            q_mult = 2
         else:
             for hs in h_divs:
                 if vmem_est(1, hs, 2) < budget:
-                    h_sub = hs
+                    h_sub, n_chains = hs, 2
                     break
     if q_mult == 2:
         starts_np = starts_np.reshape(nt, nh, nw, 3)[::2].reshape(-1, 3)
@@ -501,7 +487,7 @@ def sta_window_attention(
         hg=hg,
         q_mult=q_mult,
         h_sub=h_sub,
-        two_chain=two_chain,
+        n_chains=n_chains,
         bw_pad=bw_pad,
         q_raster=q_raster,
         text_len=text_len,
@@ -542,9 +528,9 @@ def sta_window_attention(
     tpt_q = q_mult * tpt
     th_c = th // h_sub
     scratch = [
-        pltpu.VMEM((2, hg, tpt_q, 1), jnp.float32),
-        pltpu.VMEM((2, hg, tpt_q, 1), jnp.float32),
-        pltpu.VMEM((2, hg, tpt_q, d), jnp.float32),
+        pltpu.VMEM((n_chains, hg, tpt_q, 1), jnp.float32),
+        pltpu.VMEM((n_chains, hg, tpt_q, 1), jnp.float32),
+        pltpu.VMEM((n_chains, hg, tpt_q, d), jnp.float32),
         pltpu.VMEM((n_slots, hg, tt, th_c, bw_pad, d), k.dtype),
         pltpu.VMEM((n_slots, hg, tt, th_c, bw_pad, d), v.dtype),
     ]
