@@ -202,15 +202,60 @@ def fused_routed_attention(
     scale: Optional[float] = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Hard-routed attention: three masked expert calls, outputs summed.
+    """Hard-routed attention, dispatched per head.
 
-    Each expert (including its layout prep) sits under a ``lax.cond`` on
-    "any head assigned", so blocks/timesteps that route nothing to an expert
-    skip it entirely at runtime without recompiling.
+    When the window-dense STA kernel applies, every head runs exactly its
+    expert under a per-head ``lax.switch`` and the outputs concatenate —
+    no cross-expert combine adds, no zero-fill for skipped experts, and
+    every expert's cost (including the lowres pool/unpool data movement)
+    scales with the heads actually routed to it.  Geometries on the tiled
+    STA fallback keep the three guarded expert calls (the fallback kernel
+    wants all its heads batched and packed).
     """
     geo = routed_geometry(cfg)
     groups = lowres_groups_for(cfg)
     s = cfg.seq_len
+
+    def lowres_head(qh, kh, vh):
+        pq, matching = pool_by_similarity(qh, groups)
+        pk, _ = pool_by_similarity(kh, groups, matching)
+        pv, _ = pool_by_similarity(vh, groups, matching)
+        out_p = _masked_call(
+            geo.lowres, pq, pk, pv,
+            jnp.ones((1,), bool), geo.tokens_per_tile, scale, interpret,
+        )[:, :, : groups.pooled_length]
+        return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
+
+    if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
+
+        def head_out(hh):
+            qh = q[:, hh : hh + 1]
+            kh = k[:, hh : hh + 1]
+            vh = v[:, hh : hh + 1]
+
+            def full_h():
+                return _masked_call(
+                    geo.full, qh, kh, vh, jnp.ones((1,), bool),
+                    geo.tokens_per_tile, scale, interpret,
+                )[:, :, :s]
+
+            def lowres_h():
+                return lowres_head(qh, kh, vh)
+
+            def sta_h():
+                return sta_window_attention(
+                    qh, kh, vh, jnp.ones((1,), jnp.int32),
+                    latent_shape=cfg.latent_shape, tile=cfg.sta_tile,
+                    window=cfg.sta_window, scale=scale, interpret=interpret,
+                )
+
+            return jax.lax.switch(
+                expert_id[hh], [full_h, lowres_h, sta_h]
+            )
+
+        return jnp.concatenate(
+            [head_out(hh) for hh in range(q.shape[1])], axis=1
+        )
 
     def guarded(active, branch):
         return jax.lax.cond(
@@ -229,28 +274,13 @@ def fused_routed_attention(
         # Per-HEAD cond: pooling/unpooling is pure data movement whose cost
         # cannot be masked away inside a joint kernel call (unlike the
         # attention rows), so each head pools only if the router actually
-        # sent it here — a head's whole lowres pipeline (pool q/k/v ->
-        # pooled attention -> unpool) runs under its own lax.cond and
-        # inactive heads cost one zeros-fill.  With the reference-recipe
-        # trained router (~39% lowres heads) this turns the ~24 ms/block
-        # all-heads pooling into a proportional cost.
+        # sent it here; inactive heads cost one zeros-fill.
         def one_head(hh):
-            def on():
-                qh = q[:, hh : hh + 1]
-                kh = k[:, hh : hh + 1]
-                vh = v[:, hh : hh + 1]
-                pq, matching = pool_by_similarity(qh, groups)
-                pk, _ = pool_by_similarity(kh, groups, matching)
-                pv, _ = pool_by_similarity(vh, groups, matching)
-                out_p = _masked_call(
-                    geo.lowres, pq, pk, pv,
-                    jnp.ones((1,), bool), geo.tokens_per_tile, scale, interpret,
-                )[:, :, : groups.pooled_length]
-                return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
-
             return jax.lax.cond(
                 expert_id[hh] == LOWRES,
-                on,
+                lambda: lowres_head(
+                    q[:, hh : hh + 1], k[:, hh : hh + 1], v[:, hh : hh + 1]
+                ),
                 lambda: jnp.zeros(
                     (q.shape[0], 1, q.shape[2], q.shape[3]), q.dtype
                 ),
