@@ -64,6 +64,9 @@ class RMSNorm(nnx.Module):
         self.weight = nnx.Param(jnp.ones((dim,), jnp.float32))
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        # stays in XLA: a fused Pallas RMSNorm here measured ~2% slower e2e
+        # (the kernel boundary between the qkv projections and the head
+        # split breaks XLA's fusions, same as the residual-add experiment)
         xf = x.astype(jnp.float32)
         rms = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + self.eps)
         return (xf * rms * self.weight[None]).astype(x.dtype)
