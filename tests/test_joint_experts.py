@@ -147,3 +147,40 @@ def test_routed_joint_soft_grads():
     gs, gq = jax.grad(loss, argnums=(0, 1))(scores, qv)
     assert np.all(np.isfinite(np.asarray(gs))) and np.any(np.asarray(gs) != 0)
     assert np.all(np.isfinite(np.asarray(gq))) and np.any(np.asarray(gq) != 0)
+
+
+def test_routed_joint_hard_perhead_switch_path():
+    """Window-dense-eligible geometry (tokens/tile >= 192) takes the
+    per-head lax.switch dispatch; per-head outputs must equal the experts."""
+    from vorta_tpu.ops.sta_window import prefer_window_dense
+
+    video_cfg = AttentionConfig(
+        latent_shape=(4, 6, 16),
+        sta_window=(3, 3, 3),
+        sta_tile=(4, 6, 8),
+        lowres_window=(2, 2, 2),
+        block_q=32,
+        block_kv=32,
+    )
+    assert prefer_window_dense(video_cfg.latent_shape, video_cfg.sta_tile)
+    jcfg = JointConfig(video=video_cfg, text_len=L)
+    sv_len = video_cfg.seq_len
+    b, h, d, eff = 1, 3, 8, 17
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    qv, kv_, vv = (jax.random.normal(ks[i], (b, h, sv_len, d)) for i in range(3))
+    qt, kt, vt = (jax.random.normal(ks[3 + i], (b, h, L, d)) for i in range(3))
+    mask = jnp.broadcast_to((jnp.arange(L) < eff)[None], (b, L))
+    # head 0 -> full, head 1 -> lowres, head 2 -> STA
+    scores = jnp.asarray(
+        [[[0.9, 0.05, 0.05], [0.05, 0.9, 0.05], [0.05, 0.05, 0.9]]]
+    )
+    video, text = routed_joint_attention(
+        qv, kv_, vv, qt, kt, vt, scores, mask, jcfg, mode="hard", interpret=True
+    )
+    fv, ft = joint_full_attention(qv, kv_, vv, qt, kt, vt, mask, jcfg, interpret=True)
+    lv, lt = joint_lowres_attention(qv, kv_, vv, qt, kt, vt, mask, jcfg, interpret=True)
+    sv, st = joint_sta_attention(qv, kv_, vv, qt, kt, vt, mask, jcfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(video[:, 0]), np.asarray(fv[:, 0]), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(video[:, 1]), np.asarray(lv[:, 1]), rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(video[:, 2]), np.asarray(sv[:, 2]), rtol=3e-5, atol=3e-5)
+    assert np.all(np.asarray(text[:, :, eff:]) == 0)

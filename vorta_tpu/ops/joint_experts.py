@@ -436,22 +436,53 @@ def routed_joint_attention(
         )
     elif mode == "hard":
         ids = jax.lax.stop_gradient(route_expert_ids(scores, jcfg.video.tau_sparse))
+        from .sta_window import prefer_window_dense
 
-        def branch(fn, e):
-            active = ids == e
-            zero = (jnp.zeros_like(qv), jnp.zeros_like(qt))
-            return jax.lax.cond(
-                jnp.any(active),
-                lambda: fn(qv, kv_, vv, qt, kt, vt, text_mask, jcfg,
-                           active=active, scale=scale, interpret=interpret),
-                lambda: zero,
-            )
+        if prefer_window_dense(jcfg.video.latent_shape, jcfg.video.sta_tile):
+            # per-head lax.switch (same rationale as ops/routed_fused): each
+            # head runs exactly its expert — the lowres pool/unpool data
+            # movement scales with the heads actually routed there, and the
+            # cross-expert combine adds/zero-fills disappear
+            one = jnp.ones((1,), bool)
 
-        fv, ft = branch(joint_full_attention, FULL)
-        lv, lt = branch(joint_lowres_attention, LOWRES)
-        sv, st = branch(joint_sta_attention, STA)
-        video = fv + lv + sv
-        text = ft + lt + st
+            def head_out(hh):
+                sl = slice(hh, hh + 1)
+                args = (qv[:, sl], kv_[:, sl], vv[:, sl],
+                        qt[:, sl], kt[:, sl], vt[:, sl], text_mask, jcfg)
+
+                def full_h():
+                    return joint_full_attention(
+                        *args, active=one, scale=scale, interpret=interpret)
+
+                def lowres_h():
+                    return joint_lowres_attention(
+                        *args, active=one, scale=scale, interpret=interpret)
+
+                def sta_h():
+                    return joint_sta_attention(
+                        *args, active=one, scale=scale, interpret=interpret)
+
+                return jax.lax.switch(ids[hh], [full_h, lowres_h, sta_h])
+
+            outs = [head_out(hh) for hh in range(h)]
+            video = jnp.concatenate([o[0] for o in outs], axis=1)
+            text = jnp.concatenate([o[1] for o in outs], axis=1)
+        else:
+            def branch(fn, e):
+                active = ids == e
+                zero = (jnp.zeros_like(qv), jnp.zeros_like(qt))
+                return jax.lax.cond(
+                    jnp.any(active),
+                    lambda: fn(qv, kv_, vv, qt, kt, vt, text_mask, jcfg,
+                               active=active, scale=scale, interpret=interpret),
+                    lambda: zero,
+                )
+
+            fv, ft = branch(joint_full_attention, FULL)
+            lv, lt = branch(joint_lowres_attention, LOWRES)
+            sv, st = branch(joint_sta_attention, STA)
+            video = fv + lv + sv
+            text = ft + lt + st
     elif mode == "soft":
         outs = [
             joint_full_attention_ref(qv, kv_, vv, qt, kt, vt, text_mask, jcfg, scale=scale),
