@@ -38,6 +38,7 @@ from .flash_manual import sparse_flash_attention_manual
 from .layout import tile_sequence, untile_sequence
 from .routed_fused import _sta_blocks, route_expert_ids
 from .sta_batched import sta_flash_headbatched
+from .sta_row import sta_row_attention, supports_row_dense
 from .sta_window import sta_window_attention
 
 NEG = float(-1e30)
@@ -297,12 +298,16 @@ def _joint_sta_window_dense(
     h = qv.shape[1]
     text_bias = jnp.where(text_mask[0], 0.0, NEG)[None, :].astype(jnp.float32)
 
-    video_out = sta_window_attention(
-        qv, kv_, vv, active,
+    sta_kw = dict(
         latent_shape=cfg.latent_shape, tile=cfg.sta_tile, window=cfg.sta_window,
         scale=scale, text_k=kt, text_v=vt, text_bias=text_bias,
         interpret=interpret,
     )
+    if supports_row_dense(cfg.latent_shape, cfg.sta_tile, qv.shape[-1],
+                          qv.dtype.itemsize, text_len=kt.shape[2]):
+        video_out = sta_row_attention(qv, kv_, vv, active, **sta_kw)
+    else:
+        video_out = sta_window_attention(qv, kv_, vv, active, **sta_kw)
 
     # text rows: dense joint attention (a fraction of a percent of the work)
     k_joint = jnp.concatenate([kv_, kt], axis=2)

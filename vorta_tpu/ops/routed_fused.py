@@ -31,7 +31,19 @@ from .coreset import pool_by_similarity, unpool_by_similarity
 from .experts import FULL, LOWRES, STA, lowres_groups_for
 from .flash_manual import sparse_flash_attention_manual
 from .layout import tile_sequence, untile_sequence
+from .sta_row import sta_row_attention, supports_row_dense
 from .sta_window import prefer_window_dense, sta_window_attention
+
+
+def _sta_dispatch(q, k, v, active, cfg, scale, interpret):
+    """Best eligible STA kernel: row-dense (v5, shared whole-width slabs)
+    when it fits, else window-dense (v4)."""
+    kw = dict(latent_shape=cfg.latent_shape, tile=cfg.sta_tile,
+              window=cfg.sta_window, scale=scale, interpret=interpret)
+    if supports_row_dense(cfg.latent_shape, cfg.sta_tile, q.shape[-1],
+                          q.dtype.itemsize):
+        return sta_row_attention(q, k, v, active, **kw)
+    return sta_window_attention(q, k, v, active, **kw)
 
 
 class ExpertCall(NamedTuple):
@@ -243,10 +255,8 @@ def fused_routed_attention(
                 return lowres_head(qh, kh, vh)
 
             def sta_h():
-                return sta_window_attention(
-                    qh, kh, vh, jnp.ones((1,), jnp.int32),
-                    latent_shape=cfg.latent_shape, tile=cfg.sta_tile,
-                    window=cfg.sta_window, scale=scale, interpret=interpret,
+                return _sta_dispatch(
+                    qh, kh, vh, jnp.ones((1,), jnp.int32), cfg, scale, interpret
                 )
 
             return jax.lax.switch(
@@ -297,11 +307,7 @@ def fused_routed_attention(
             # window-dense kernel: reads the clamped 3D window straight out
             # of raster-order K/V via box DMAs — no tile relayout, no pair
             # bits, per-head skip of unrouted heads (no packing permutes)
-            return sta_window_attention(
-                q, k, v, active,
-                latent_shape=shape, tile=tile, window=cfg.sta_window,
-                scale=scale, interpret=interpret,
-            )
+            return _sta_dispatch(q, k, v, active, cfg, scale, interpret)
         from .sta_batched import sta_flash_headbatched
 
         # fallback (tile_w not 8-aligned): tiled layout + pair-bit kernel;
