@@ -453,6 +453,7 @@ class HunyuanModel(nnx.Module):
         interpret: bool = False,
         sp_axis: Optional[str] = None,
         frozen_sharded_axis: Optional[str] = None,
+        remat_blocks: bool = False,
     ) -> HunyuanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -531,6 +532,9 @@ class HunyuanModel(nnx.Module):
                     scores = jnp.zeros((b, cfg.num_heads, 3), jnp.float32)
                 return (x, ctx, xt, ct, reg, hid), scores
 
+            if remat_blocks:
+                # per-block gradient checkpointing (see models/wan.py)
+                body = jax.checkpoint(body, prevent_cse=False)
             (x, ctx, xt, ct, reg, hid), scores = jax.lax.scan(
                 body, (x, ctx, xt, ct, reg, hid), state
             )

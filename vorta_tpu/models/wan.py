@@ -356,6 +356,7 @@ class WanModel(nnx.Module):
         interpret: bool = False,
         sp_axis: Optional[str] = None,
         frozen_sharded_axis: Optional[str] = None,
+        remat_blocks: bool = False,
     ) -> WanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -446,6 +447,12 @@ class WanModel(nnx.Module):
                 scores = jnp.zeros((b, cfg.num_heads, attn_cfg.num_experts), jnp.float32)
             return (xs, xt, reg, hid), scores
 
+        if remat_blocks:
+            # gradient checkpointing per block: without it the scan saves
+            # every layer's expert outputs in f32 for backward (~17 GB at
+            # 480p x 77f teacher+student — exceeds a v5e's HBM).  Reference
+            # analogue: per-block activation checkpointing in train.py.
+            run_block = jax.checkpoint(run_block, prevent_cse=False)
         zero = jnp.zeros((), jnp.float32)
         scan_xs = (
             jnp.arange(cfg.num_layers)

@@ -117,6 +117,7 @@ def make_router_train_step(
             attn_cfg=attn_cfg,
             routing_mode="soft",
             return_losses=True,
+            remat_blocks=True,
             interpret=interpret,
             sp_axis=sp_axis,
             frozen_sharded_axis=frozen_sharded_axis,
@@ -210,7 +211,8 @@ def make_hunyuan_router_train_step(
             noisy.astype(model.dtype), timesteps, text, mask, pooled,
             guidance=jnp.full((b,), guidance_value),
             attn_cfg=attn_cfg, routing_mode="soft",
-            return_losses=True, interpret=interpret, sp_axis=sp_axis,
+            return_losses=True,
+            remat_blocks=True, interpret=interpret, sp_axis=sp_axis,
             frozen_sharded_axis=frozen_sharded_axis,
         )
         pred = out.sample.astype(jnp.float32)
