@@ -212,3 +212,23 @@ def test_joint_window_dense_inactive_heads():
     assert np.all(np.asarray(video)[:, 1] == 0)
     assert np.all(np.asarray(text)[:, 1] == 0)
     assert not np.all(np.asarray(video)[:, 0] == 0)
+
+
+@pytest.mark.parametrize("force", [(2, 1, 1), (1, 3, 2), (2, 3, 2)])
+def test_forced_vmem_fallback_paths(force):
+    """Exercise the t-supertiled and h-subchunk VMEM fallback paths (they
+    only auto-select on fat real-hardware geometries)."""
+    latent, tile, window = (8, 6, 32), (2, 3, 8), (3, 3, 3)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    out = sta_window_attention(
+        q, k, v, jnp.ones((h,), jnp.int32),
+        latent_shape=latent, tile=tile, window=window, interpret=True,
+        _force=force,
+    )
+    ref = dense_sta_oracle(q, k, v, latent, tile, window)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)

@@ -171,19 +171,19 @@ def sta_attention(
 
 def padded_dense_attention(
     q: jax.Array, k: jax.Array, v: jax.Array,
-    block_q: int = 512, block_kv: int = 512,
+    block_q: Optional[int] = None, block_kv: int = 512,
     scale: Optional[float] = None, interpret: bool = False,
 ) -> jax.Array:
     """Dense attention for arbitrary (Sq, Skv), e.g. cross-attention to text.
 
-    Pads both sides to kernel blocks and masks the padded kv tail.
+    Pads both sides to kernel blocks and masks the padded kv tail.  With
+    ``block_q=None`` the block is picked automatically: big q blocks for the
+    short-KV case (cross-attention to text), where per-grid-cell bookkeeping
+    dominates the one tiny kv step (measured 3.5 -> ~1 ms/block at Wan 720p).
     """
     sq, skv = q.shape[2], k.shape[2]
-    if skv <= 512 and sq >= 8192:
-        # short-KV case (cross-attention to text): per-grid-cell bookkeeping
-        # dominates the one tiny kv step, so make q blocks big to cut the
-        # cell count (measured 3.5 -> ~1 ms/block at Wan 720p)
-        block_q = 2048
+    if block_q is None:
+        block_q = 2048 if (skv <= 512 and sq >= 8192) else 512
     block_q = min(block_q, max(8, 1 << (sq - 1).bit_length()))
     block_kv = min(block_kv, max(8, 1 << (skv - 1).bit_length()))
     nq, nkv = cdiv(sq, block_q), cdiv(skv, block_kv)

@@ -304,7 +304,8 @@ def _joint_sta_window_dense(
         interpret=interpret,
     )
     if supports_row_dense(cfg.latent_shape, cfg.sta_tile, qv.shape[-1],
-                          qv.dtype.itemsize, text_len=kt.shape[2]):
+                          qv.dtype.itemsize, text_len=kt.shape[2],
+                          window=cfg.sta_window):
         video_out = sta_row_attention(qv, kv_, vv, active, **sta_kw)
     else:
         video_out = sta_window_attention(qv, kv_, vv, active, **sta_kw)

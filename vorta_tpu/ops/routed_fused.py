@@ -41,7 +41,7 @@ def _sta_dispatch(q, k, v, active, cfg, scale, interpret):
     kw = dict(latent_shape=cfg.latent_shape, tile=cfg.sta_tile,
               window=cfg.sta_window, scale=scale, interpret=interpret)
     if supports_row_dense(cfg.latent_shape, cfg.sta_tile, q.shape[-1],
-                          q.dtype.itemsize):
+                          q.dtype.itemsize, window=cfg.sta_window):
         return sta_row_attention(q, k, v, active, **kw)
     return sta_window_attention(q, k, v, active, **kw)
 
@@ -301,13 +301,10 @@ def fused_routed_attention(
         )
 
     def sta_branch():
+        # only reached when prefer_window_dense() was False above, so this
+        # is always the tiled pair-bits fallback kernel
         active = expert_id == STA
         shape, tile = cfg.latent_shape, cfg.sta_tile
-        if prefer_window_dense(shape, tile):
-            # window-dense kernel: reads the clamped 3D window straight out
-            # of raster-order K/V via box DMAs — no tile relayout, no pair
-            # bits, per-head skip of unrouted heads (no packing permutes)
-            return _sta_dispatch(q, k, v, active, cfg, scale, interpret)
         from .sta_batched import sta_flash_headbatched
 
         # fallback (tile_w not 8-aligned): tiled layout + pair-bit kernel;

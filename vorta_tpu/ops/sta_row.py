@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sta_window import window_starts
+
 NEG_INF = float(-1e30)
 LOG2E = 1.4426950408889634
 
@@ -42,28 +44,22 @@ Shape3 = Tuple[int, int, int]
 
 
 def _row_starts(latent_shape: Shape3, tile: Shape3, window: Shape3) -> np.ndarray:
-    """(nt*nh, 2) int32 ELEMENT offsets (t0, h0) of each row's clamped
-    window box — same clamping as sta_window.window_starts."""
-    t, hh, _ = latent_shape
-    tt, th, _ = tile
-    nt, nh = t // tt, hh // th
-    win_t, win_h = min(window[0], nt), min(window[1], nh)
-    out = np.zeros((nt * nh, 2), np.int32)
-    idx = 0
-    for ti in range(nt):
-        for hi in range(nh):
-            out[idx, 0] = min(max(ti - window[0] // 2, 0), nt - win_t) * tt
-            out[idx, 1] = min(max(hi - window[1] // 2, 0), nh - win_h) * th
-            idx += 1
-    return out
+    """(nt*nh, 2) int32 ELEMENT offsets (t0, h0) of each row's clamped window
+    box — row (ti, hi) shares the (t, h) starts of all its w tiles, so this
+    is the shared window_starts table subsampled at wi == 0."""
+    t, hh, w = latent_shape
+    nt, nh, nw = t // tile[0], hh // tile[1], w // tile[2]
+    full = window_starts(latent_shape, tile, window).reshape(nt, nh, nw, 3)
+    return np.ascontiguousarray(full[:, :, 0, :2].reshape(nt * nh, 2))
 
 
-def _w_window_starts(nw: int, win_w: int, tile_w: int):
-    """Static per-w-tile element start of the clamped w window."""
-    win_eff = min(win_w, nw)
-    return [
-        min(max(wi - win_w // 2, 0), nw - win_eff) * tile_w for wi in range(nw)
-    ], win_eff
+def _w_window_starts(latent_shape: Shape3, tile: Shape3, window: Shape3):
+    """Static per-w-tile element start of the clamped w window (column 2 of
+    the shared window_starts table, identical for every (t, h) row)."""
+    t, hh, w = latent_shape
+    nt, nh, nw = t // tile[0], hh // tile[1], w // tile[2]
+    full = window_starts(latent_shape, tile, window).reshape(nt, nh, nw, 3)
+    return [int(x) for x in full[0, 0, :, 2]]
 
 
 def _kernel(
@@ -236,7 +232,8 @@ def _kernel(
 
 
 def supports_row_dense(latent_shape: Shape3, tile: Shape3, d: int,
-                      itemsize: int = 2, text_len: int = 0) -> bool:
+                      itemsize: int = 2, text_len: int = 0,
+                      window: Shape3 = (3, 3, 3)) -> bool:
     """Eligibility: tiles divide the grid, tile_w 8-aligned (free reshapes of
     W slices), and the VMEM working set fits the scoped budget."""
     t, hh, w = latent_shape
@@ -248,7 +245,7 @@ def supports_row_dense(latent_shape: Shape3, tile: Shape3, d: int,
     nw = w // tw
     tpt = tt * th * tw
     slab = tt * th * w * d * itemsize
-    bw = min(3, nw) * tw  # effective w window span
+    bw = min(window[2], nw) * tw  # effective w window span
     est = (
         2 * 2 * slab                       # 2-slot k+v chunk buffers
         + 2 * 2 * slab                     # q/out double-buffered blocks
@@ -282,7 +279,8 @@ def sta_row_attention(
         raise ValueError(f"seq len {s} != prod(latent_shape) {latent_shape}")
     tt, th, tw = tile
     if not supports_row_dense(latent_shape, tile, d, q.dtype.itemsize,
-                              0 if text_k is None else text_k.shape[2]):
+                              0 if text_k is None else text_k.shape[2],
+                              window=window):
         raise ValueError(f"geometry (latent {latent_shape}, tile {tile}) "
                          "not eligible for the row-dense kernel")
     if d % 128 and not interpret:
@@ -291,7 +289,7 @@ def sta_row_attention(
         scale = d**-0.5
     nt, nh, nw = t // tt, hh // th, w // tw
     win_eff = (min(window[0], nt), min(window[1], nh), min(window[2], nw))
-    w_starts, _ = _w_window_starts(nw, window[2], tw)
+    w_starts = _w_window_starts(latent_shape, tile, window)
     tpt = tt * th * tw
     n_rows = nt * nh
     n_chunks = win_eff[0] * win_eff[1]

@@ -78,6 +78,7 @@ def _kernel(
     h_sub: int,  # KV chunks per h-tile (shrinks VMEM scores when q_mult > 1)
     n_chains: int,  # interleaved independent softmax chains (1, 2, or 4)
     bw_pad: int,  # DMA w-span per chunk (== bw when tile_w is 8-aligned)
+    w_limit: int,  # largest allowed aligned DMA w-start (clamps the box)
     q_raster: bool,  # q/out blocks carved from the raster 6-D view
     text_len: int,  # 0 = video-only; >0 adds a dense text-KV tail
     cast_p_to_v_dtype: bool,
@@ -121,10 +122,12 @@ def _kernel(
         wdma = pl.multiple_of(starts_ref[i, 2], 8)
         w_off = None
     else:
-        # misaligned tile_w: read the 8-aligned superset [a0, a0 + bw_pad)
-        # and mask the columns outside the true window with a logits bias
+        # misaligned tile_w: read the 8-aligned superset [a0, a0 + bw_pad),
+        # clamped so the box never overruns the latent width, and mask the
+        # columns outside the true window with a logits bias
         w0 = starts_ref[i, 2]
-        wdma = pl.multiple_of(w0 - jax.lax.rem(w0, 8), 8)
+        a0 = jnp.minimum(w0 - jax.lax.rem(w0, 8), w_limit)
+        wdma = pl.multiple_of(a0, 8)
         w_off = w0 - wdma
     # skip cells whose whole head group is inactive (callers pack routed
     # heads first, so inactive groups are contiguous at the end)
@@ -366,6 +369,7 @@ def sta_window_attention(
     text_bias: Optional[jax.Array] = None,  # (1, Lt) or (Lt,) f32 additive
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
+    _force: Optional[Tuple[int, int, int]] = None,  # test hook: (q_mult, h_sub, n_chains)
 ) -> jax.Array:
     """Sliding-tile attention over raster-order inputs; inactive heads output
     zeros (participation-mask contract of ops/routed_fused).
@@ -447,6 +451,15 @@ def sta_window_attention(
                 if vmem_est(1, hs, 2) < budget:
                     h_sub, n_chains = hs, 2
                     break
+    if _force is not None:
+        # test hook: pin the (q_mult, h_sub, n_chains) selection so the VMEM
+        # fallback paths are exercised at CI geometries (they otherwise only
+        # engage on fat real-hardware shapes)
+        q_mult, h_sub, n_chains = _force
+        if q_mult == 2 and not pairable:
+            raise ValueError("q_mult=2 requires t-pairable window starts")
+        if th % h_sub:
+            raise ValueError(f"h_sub {h_sub} must divide tile_h {th}")
     if q_mult == 2:
         starts_np = starts_np.reshape(nt, nh, nw, 3)[::2].reshape(-1, 3)
         n_tiles //= 2
@@ -457,18 +470,34 @@ def sta_window_attention(
     v6 = v.reshape(b, n_heads, t, hh, w, d)
     if tw % 8 == 0:
         bw_pad = bw
+        w_limit = max(0, ((w - bw) // 8) * 8)
     else:
-        # w starts are multiples of tile_w; DMA from the aligned floor and
-        # span enough 8-columns to cover the worst-case offset
+        # w starts are multiples of tile_w; DMA from the aligned floor,
+        # spanning enough 8-columns to cover the worst-case offset, with the
+        # box start CLAMPED to keep it inside the latent width (growing the
+        # span when the clamp widens an offset).  When W itself is not
+        # 8-aligned the right-edge window has no reachable in-bounds aligned
+        # start, the loop runs down to w_limit < 0, and K/V are padded once
+        # instead — acceptable: misaligned-tile_w geometries prefer the
+        # tiled fallback kernel (prefer_window_dense) in the first place.
         w_starts = starts_np[:, 2]
         offs = w_starts % 8
         bw_pad = -(-(int(offs.max()) + bw) // 8) * 8
-        need_w = int((w_starts - offs).max()) + bw_pad
-        if need_w > w:
-            pad = [(0, 0)] * 6
-            pad[4] = (0, need_w - w)
-            k6 = jnp.pad(k6, pad)
-            v6 = jnp.pad(v6, pad)
+        while True:
+            w_limit = ((w - bw_pad) // 8) * 8
+            if w_limit < 0:
+                # whole latent width smaller than one padded window span
+                # (toy grids only): pad K/V once instead of clamping
+                pad = [(0, 0)] * 6
+                pad[4] = (0, bw_pad - w)
+                k6 = jnp.pad(k6, pad)
+                v6 = jnp.pad(v6, pad)
+                w_limit = 0
+                break
+            clamped = np.minimum(w_starts - offs, w_limit)
+            if int((w_starts - clamped).max()) + bw <= bw_pad:
+                break
+            bw_pad += 8
     text_len = 0
     if text_k is not None:
         text_len = text_k.shape[2]
@@ -489,6 +518,7 @@ def sta_window_attention(
         h_sub=h_sub,
         n_chains=n_chains,
         bw_pad=bw_pad,
+        w_limit=w_limit,
         q_raster=q_raster,
         text_len=text_len,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
