@@ -1,0 +1,72 @@
+"""Grid-pipelined STA kernel (ops/sta_pipe) vs the dense oracle and v5."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vorta_tpu.ops.sta_pipe import sta_pipe_attention, supports_pipe
+from vorta_tpu.ops.sta_row import sta_row_attention
+
+from test_sta_window import dense_sta_oracle
+
+
+@pytest.mark.parametrize("latent,tile", [
+    ((4, 6, 16), (2, 3, 8)),   # clamped everywhere (win >= grid on t/h)
+    ((8, 6, 32), (2, 3, 8)),   # real clamping on t and w
+])
+def test_matches_dense_oracle(latent, tile):
+    b, h, d = 1, 2, 32
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    out = sta_pipe_attention(
+        q, k, v, jnp.ones((h,), jnp.int32),
+        latent_shape=latent, tile=tile, window=(3, 3, 3), interpret=True,
+    )
+    ref = dense_sta_oracle(q, k, v, latent, tile, (3, 3, 3))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_matches_v5_kernel_and_inactive_heads():
+    latent, tile = (8, 6, 32), (2, 3, 8)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    active = jnp.asarray([1, 0], jnp.int32)
+    out = sta_pipe_attention(q, k, v, active, latent_shape=latent, tile=tile,
+                             window=(3, 3, 3), interpret=True)
+    ref = sta_row_attention(q, k, v, active, latent_shape=latent, tile=tile,
+                            window=(3, 3, 3), interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    assert np.abs(np.asarray(out)[:, 1]).max() == 0  # inactive head zeroed
+
+
+def test_joint_text_tail_matches_v5():
+    latent, tile = (4, 6, 16), (2, 3, 8)
+    b, h, d, lt, eff = 1, 2, 32, 16, 11
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(2)
+    mk = lambda shape: jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    q, k, v = mk((b, h, s, d)), mk((b, h, s, d)), mk((b, h, s, d))
+    tk, tv = mk((b, h, lt, d)), mk((b, h, lt, d))
+    bias = jnp.where(jnp.arange(lt) < eff, 0.0, -1e30).astype(jnp.float32)
+    kw = dict(latent_shape=latent, tile=tile, window=(3, 3, 3),
+              text_k=tk, text_v=tv, text_bias=bias, interpret=True)
+    active = jnp.ones((h,), jnp.int32)
+    out = sta_pipe_attention(q, k, v, active, **kw)
+    ref = sta_row_attention(q, k, v, active, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_supports():
+    assert supports_pipe((20, 45, 80), (5, 9, 8), 128)
+    assert supports_pipe((30, 45, 80), (6, 9, 8), 128, text_len=256)
+    assert not supports_pipe((20, 30, 52), (4, 6, 4), 128)  # tw % 8
+    assert not supports_pipe((20, 45, 80), (3, 9, 8), 128)  # 3 !| 20

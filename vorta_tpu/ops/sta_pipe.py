@@ -1,0 +1,311 @@
+"""Grid-pipelined row-dense sliding-tile attention (kernel v6).
+
+Kernel v5 (ops/sta_row.py) fetches each row's window slabs with *manual*
+in-kernel DMAs; tools/sta_diag.py bisection showed Mosaic serializes those
+waits against compute (total = DMA + MXU, no overlap, 45.3 ms at Wan 720p vs
+a ~22 ms MXU floor).  BlockSpec-managed transfers, by contrast, ride the
+Pallas grid pipeline and DO overlap with compute (ops/flash.py reaches 69%
+of MXU peak this way).
+
+This kernel keeps v5's compute body — one grid cell is one (batch, head,
+t-tile, h-tile) row of q tiles, streaming the win_t*win_h full-width KV
+slabs whose (t, h) starts are shared by the whole row — but the slab fetch
+becomes a *grid dimension*: grid (B, H, n_rows, n_chunks) with the K/V
+BlockSpec index maps reading the row's clamped window start (in tile units,
+so starts are exact block indices) from a scalar-prefetched table.  The
+pipeline double-buffers the next chunk's slabs during the current chunk's
+dots, which is precisely the overlap the manual-DMA kernels never got.
+
+Per chunk, each of the row's nw q tiles takes its static w-window slice of
+the resident slab (every w-start is a Python constant) and runs one online
+softmax step; the nw independent (dot -> softmax -> pv) streams keep the
+MXU busy during every VPU softmax.  Joint (Hunyuan) text tails stream once
+per (batch, head) as constant-index blocks and are folded in on the last
+chunk with the padding bias.
+
+Reference semantics: vorta/attention/sliding_attn_flex.py:101-134
+(center-clamped tile-granular window; tile re-layout + compiled
+flex-attention block-sparse kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sta_row import _row_starts, _w_window_starts
+
+NEG_INF = float(-1e30)
+LOG2E = 1.4426950408889634
+
+Shape3 = Tuple[int, int, int]
+
+
+def _kernel(
+    *refs,
+    scale: float,
+    tile: Shape3,
+    win_eff: Shape3,
+    nw: int,
+    w_starts: Tuple[int, ...],
+    n_chunks: int,
+    text_len: int,
+    cast_p_to_v_dtype: bool,
+    variant: str = "full",  # diagnostic: "full" | "dots" (no softmax) | "qk"
+):
+    it = iter(refs)
+    _tab_ref = next(it)  # (n_rows, 2) tile-unit starts (consumed by index maps)
+    active_ref = next(it)  # (H,) int32
+    q_ref = next(it)  # (1, 1, tt, th, W, D)
+    k_ref = next(it)  # (1, 1, tt, th, W, D) — current window chunk slab
+    v_ref = next(it)
+    tk_ref = next(it) if text_len else None  # (1, 1, Lt, D)
+    tv_ref = next(it) if text_len else None
+    bias_ref = next(it) if text_len else None  # (1, Lt) f32
+    out_ref = next(it)  # (1, 1, tt, th, W, D)
+    m_s = next(it)  # (nw, tpt, 1) f32 — one softmax state per w q-tile
+    l_s = next(it)
+    acc_s = next(it)  # (nw, tpt, D) f32
+
+    g = pl.program_id(1)
+    j = pl.program_id(3)
+    tt, th, tw = tile
+    tpt = tt * th * tw
+    d = q_ref.shape[-1]
+    bw = win_eff[2] * tw
+
+    @pl.when(j == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    q_row = q_ref[0, 0]  # (tt, th, W, D)
+    qs = [
+        q_row[:, :, wi * tw : (wi + 1) * tw, :].reshape(tpt, d)
+        for wi in range(nw)
+    ]
+    k_chunk = k_ref[0, 0]
+    v_chunk = v_ref[0, 0]
+
+    def soft_pv(wi, s, v_wi):
+        m_prev = m_s[wi]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_s[wi] = l_s[wi] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_s[wi] = m_new
+        if cast_p_to_v_dtype and v_wi.dtype != jnp.float32:
+            p = p.astype(v_wi.dtype)
+        acc_s[wi] = acc_s[wi] * alpha + jax.lax.dot_general(
+            p, v_wi,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # nw independent (dot, softmax, pv) streams: the next tile's q@k (MXU)
+    # never depends on the previous tile's softmax (VPU)
+    for wi in range(nw):
+        ws = w_starts[wi]
+        k_wi = k_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
+        s = jax.lax.dot_general(
+            qs[wi], k_wi,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        if variant == "qk":
+            acc_s[wi] += jnp.sum(s, axis=-1, keepdims=True) * 1e-3
+            continue
+        v_wi = v_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
+        if variant == "dots":
+            p = (s * 1e-3).astype(v_wi.dtype)
+            acc_s[wi] += jax.lax.dot_general(
+                p, v_wi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            continue
+        soft_pv(wi, s, v_wi)
+
+    @pl.when(j == n_chunks - 1)
+    def _finish():
+        if text_len:
+            kt = tk_ref[0, 0]
+            vt = tv_ref[0, 0]
+            for wi in range(nw):
+                s = jax.lax.dot_general(
+                    qs[wi], kt,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * (scale * LOG2E) + bias_ref[0][None, :]
+                soft_pv(wi, s, vt)
+        a = (active_ref[g] > 0).astype(jnp.float32)
+        for wi in range(nw):
+            l = l_s[wi]
+            out = acc_s[wi] / jnp.where(l == 0.0, 1.0, l)
+            out_ref[0, 0, :, :, wi * tw : (wi + 1) * tw, :] = (
+                (out * a).reshape(tt, th, tw, d).astype(out_ref.dtype)
+            )
+
+
+def supports_pipe(latent_shape: Shape3, tile: Shape3, d: int,
+                  itemsize: int = 2, text_len: int = 0,
+                  window: Shape3 = (3, 3, 3)) -> bool:
+    """Eligibility: tiles divide the grid, tile_w 8-aligned (free reshapes
+    of W slices), and the double-buffered slabs + states fit VMEM."""
+    t, hh, w = latent_shape
+    tt, th, tw = tile
+    if t % tt or hh % th or w % tw:
+        return False
+    if tw % 8:
+        return False
+    nw = w // tw
+    tpt = tt * th * tw
+    slab = tt * th * w * d * itemsize
+    bw = min(window[2], nw) * tw
+    est = (
+        2 * 2 * slab                       # double-buffered k+v slabs
+        + 2 * 2 * slab                     # q/out double-buffered blocks
+        + nw * tpt * (d + 2) * 4           # per-tile acc/m/l states
+        + 3 * tpt * tt * th * bw * 4       # live f32 scores (x3 margin)
+        + 2 * 2 * text_len * d * itemsize  # text kv blocks (double-buffered)
+    )
+    return est < 40 * 2**20
+
+
+def sta_pipe_attention(
+    q: jax.Array,  # (B, H, S, D) raster
+    k: jax.Array,
+    v: jax.Array,
+    active: jax.Array,  # (H,)
+    *,
+    latent_shape: Shape3,
+    tile: Shape3,
+    window: Shape3 = (3, 3, 3),
+    scale: Optional[float] = None,
+    text_k: Optional[jax.Array] = None,
+    text_v: Optional[jax.Array] = None,
+    text_bias: Optional[jax.Array] = None,
+    cast_p_to_v_dtype: bool = True,
+    interpret: bool = False,
+    variant: str = "full",
+) -> jax.Array:
+    """Same contract as ops.sta_row.sta_row_attention."""
+    b, n_heads, s, d = q.shape
+    t, hh, w = latent_shape
+    if s != t * hh * w:
+        raise ValueError(f"seq len {s} != prod(latent_shape) {latent_shape}")
+    tt, th, tw = tile
+    if not supports_pipe(latent_shape, tile, d, q.dtype.itemsize,
+                         0 if text_k is None else text_k.shape[2],
+                         window=window):
+        raise ValueError(f"geometry (latent {latent_shape}, tile {tile}) "
+                         "not eligible for the pipelined row-dense kernel")
+    if d % 128 and not interpret:
+        raise ValueError(f"head_dim {d} must be a multiple of 128 on TPU")
+    if scale is None:
+        scale = d**-0.5
+    nt, nh, nw = t // tt, hh // th, w // tw
+    win_eff = (min(window[0], nt), min(window[1], nh), min(window[2], nw))
+    w_starts = _w_window_starts(latent_shape, tile, window)
+    tpt = tt * th * tw
+    n_rows = nt * nh
+    n_chunks = win_eff[0] * win_eff[1]
+
+    # row window starts in TILE units: exact block indices for the K/V maps
+    starts_el = _row_starts(latent_shape, tile, window)
+    tab = jnp.asarray(
+        np.stack([starts_el[:, 0] // tt, starts_el[:, 1] // th], axis=1),
+        jnp.int32,
+    )
+    q6 = q.reshape(b, n_heads, t, hh, w, d)
+    k6 = k.reshape(b, n_heads, t, hh, w, d)
+    v6 = v.reshape(b, n_heads, t, hh, w, d)
+    text_len = 0
+    if text_k is not None:
+        text_len = text_k.shape[2]
+        if text_len % 8 and not interpret:
+            raise ValueError(f"text_len {text_len} must be a multiple of 8")
+        if text_bias is None:
+            text_bias = jnp.zeros((1, text_len), jnp.float32)
+        text_bias = text_bias.astype(jnp.float32).reshape(1, text_len)
+
+    kernel = functools.partial(
+        _kernel,
+        scale=float(scale),
+        tile=tile,
+        win_eff=win_eff,
+        nw=nw,
+        w_starts=tuple(w_starts),
+        n_chunks=n_chunks,
+        text_len=text_len,
+        cast_p_to_v_dtype=cast_p_to_v_dtype,
+        variant=variant,
+    )
+
+    wh = win_eff[1]
+
+    def q_map(bb, gg, ii, jj, *refs):
+        return (bb, gg, ii // nh, ii - (ii // nh) * nh, 0, 0)
+
+    def kv_map(bb, gg, ii, jj, *refs):
+        tab_ref = refs[0]
+        return (bb, gg, tab_ref[ii, 0] + jj // wh,
+                tab_ref[ii, 1] + jj - (jj // wh) * wh, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, tt, th, w, d), q_map),
+        pl.BlockSpec((1, 1, tt, th, w, d), kv_map),
+        pl.BlockSpec((1, 1, tt, th, w, d), kv_map),
+    ]
+    inputs = [q6, k6, v6]
+    if text_len:
+        def text_map(bb, gg, ii, jj, *refs):
+            return (bb, gg, 0, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, 1, text_len, d), text_map),
+            pl.BlockSpec((1, 1, text_len, d), text_map),
+            pl.BlockSpec((1, text_len), lambda bb, gg, ii, jj, *r: (0, 0)),
+        ]
+        inputs += [text_k.reshape(b, n_heads, text_len, d),
+                   text_v.reshape(b, n_heads, text_len, d),
+                   text_bias]
+    scratch = [
+        pltpu.VMEM((nw, tpt, 1), jnp.float32),
+        pltpu.VMEM((nw, tpt, 1), jnp.float32),
+        pltpu.VMEM((nw, tpt, d), jnp.float32),
+    ]
+    out6 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, n_heads, n_rows, n_chunks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, 1, tt, th, w, d), q_map),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q6.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * n_heads * n_rows * n_chunks * nw * 4
+                      * tpt * tt * th * win_eff[2] * tw * d),
+            bytes_accessed=int(
+                b * n_heads * n_rows * n_chunks * 2 * tt * th * w * d
+                * k.dtype.itemsize
+                + q.size * q.dtype.itemsize * 2
+            ),
+            transcendentals=int(b * n_heads * s * (n_chunks + (1 if text_len else 0))),
+        ),
+        interpret=interpret,
+    )(tab, active.astype(jnp.int32), *inputs)
+    return out6.reshape(b, n_heads, s, d)
