@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--clip_checkpoint", default=None)
     p.add_argument("--prompt_embeds", default=None, help=".npy/.pt UMT5 states (L, 4096)")
     p.add_argument("--negative_prompt_embeds", default=None)
+    p.add_argument("--image_embeds", default=None,
+                   help="I2V: .npy/.pt CLIP image tokens (257, image_dim); "
+                        "enables the image-KV branch (wan.py:119-139)")
     p.add_argument("--random_embeds", action="store_true")
     p.add_argument("--num_frames", type=int, default=77)
     p.add_argument("--height", type=int, default=480)
@@ -172,6 +175,22 @@ def main(argv=None):
             tau_sparse=args.tau_sparse, **blocks,
         )
 
+    image_embeds = None
+    if args.image_embeds:
+        import dataclasses
+
+        arr = np.load(args.image_embeds) if args.image_embeds.endswith(".npy") else None
+        if arr is None:
+            import torch
+
+            arr = torch.load(args.image_embeds, map_location="cpu",
+                             weights_only=True).float().numpy()
+        if arr.ndim == 2:
+            arr = arr[None]
+        if model_cfg.image_dim is None:
+            model_cfg = dataclasses.replace(model_cfg, image_dim=int(arr.shape[-1]))
+        image_embeds = arr
+
     print(f"[sample] model={args.model} grid={grid} routing="
           f"{'off' if args.native_attention else 'hard'} backend={jax.default_backend()}")
     model = WanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
@@ -259,7 +278,8 @@ def main(argv=None):
             jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
         )
         t0 = time.time()
-        final, _ = pipe(latents, pe, ne, sampling=sampling)
+        img = jnp.asarray(image_embeds, dtype) if image_embeds is not None else None
+        final, _ = pipe(latents, pe, ne, sampling=sampling, image_embeds=img)
         final.block_until_ready()
         print(f"[sample] denoised in {time.time() - t0:.1f}s "
               f"({(time.time() - t0) / args.num_inference_steps:.2f}s/step)")

@@ -60,3 +60,31 @@ def test_hunyuan_sp_sampling_matches_single_device():
     ref = pipe(latents, text, mask, pooled, sampling=sampling)
     out = pipe_sp(latents, text, mask, pooled, sampling=sampling)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=5e-4, atol=5e-4)
+
+
+def test_i2v_pipeline_end_to_end():
+    """image_embeds threads through the pipeline (plain + SP) and changes
+    the sample (reference I2V image-KV branch, wan.py:119-139)."""
+    from vorta_tpu.config import WanModelConfig
+
+    cfg = WanModelConfig(
+        dim=128, ffn_dim=256, num_heads=2, head_dim=64, num_layers=2,
+        text_dim=32, text_len=16, freq_dim=32, image_dim=24,
+    )
+    model = WanModel(cfg, rngs=nnx.Rngs(0))
+    pipe = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    latents = pipe.prepare_latents(jax.random.PRNGKey(0), 1, 13, 64, 64)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim))
+    img = jax.random.normal(jax.random.PRNGKey(2), (1, 257, cfg.image_dim))
+    sampling = SamplingConfig(num_inference_steps=2, routing_mode="hard")
+
+    out_t2v, _ = pipe(latents, pe, sampling=sampling)
+    out_i2v, _ = pipe(latents, pe, sampling=sampling, image_embeds=img)
+    assert np.isfinite(np.asarray(out_i2v)).all()
+    assert np.abs(np.asarray(out_i2v) - np.asarray(out_t2v)).max() > 1e-5
+
+    mesh = make_mesh(sp_size=2, dp_size=1)
+    pipe_sp = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True, mesh=mesh)
+    out_sp, _ = pipe_sp(latents, pe, sampling=sampling, image_embeds=img)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_i2v),
+                               rtol=5e-4, atol=5e-4)

@@ -70,3 +70,19 @@ def test_supports():
     assert supports_pipe((30, 45, 80), (6, 9, 8), 128, text_len=256)
     assert not supports_pipe((20, 30, 52), (4, 6, 4), 128)  # tw % 8
     assert not supports_pipe((20, 45, 80), (3, 9, 8), 128)  # 3 !| 20
+
+
+def test_stable_softmax_matches_fast():
+    latent, tile = (8, 6, 32), (2, 3, 8)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    kw = dict(latent_shape=latent, tile=tile, window=(3, 3, 3), interpret=True)
+    active = jnp.ones((h,), jnp.int32)
+    fast = sta_pipe_attention(q, k, v, active, softmax="fast", **kw)
+    stab = sta_pipe_attention(q, k, v, active, softmax="stable", **kw)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(stab),
+                               rtol=2e-4, atol=2e-4)

@@ -47,6 +47,22 @@ LOG2E = 1.4426950408889634
 Shape3 = Tuple[int, int, int]
 
 
+def _q_mult(latent_shape: Shape3, tile: Shape3, window: Shape3) -> int:
+    """q-supertile factor along t: 2 when consecutive t-tile row pairs share
+    the same clamped t window start (e.g. Wan 720p nt=4, win 3 -> starts
+    [0,0,1,1]), so one grid cell can process both rows against one slab
+    stream — doubling the dot M dim and halving cells, DMA, and transposes."""
+    t, hh, w = latent_shape
+    nt, nh = t // tile[0], hh // tile[1]
+    if nt % 2:
+        return 1
+    starts = _row_starts(latent_shape, tile, window).reshape(nt, nh, 2)
+    for r in range(0, nt, 2):
+        if not (starts[r] == starts[r + 1]).all():
+            return 1
+    return 2
+
+
 def _kernel(
     *refs,
     scale: float,
@@ -57,6 +73,8 @@ def _kernel(
     n_chunks: int,
     text_len: int,
     cast_p_to_v_dtype: bool,
+    q_mult: int = 1,
+    softmax: str = "fast",  # "fast" (no running max) | "stable"
     variant: str = "full",  # diagnostic: "full" | "dots" (no softmax) | "qk"
 ):
     it = iter(refs)
@@ -76,7 +94,7 @@ def _kernel(
     g = pl.program_id(1)
     j = pl.program_id(3)
     tt, th, tw = tile
-    tpt = tt * th * tw
+    tpt = q_mult * tt * th * tw  # q rows per stream (q_mult t-tile rows)
     d = q_ref.shape[-1]
     bw = win_eff[2] * tw
 
@@ -86,7 +104,9 @@ def _kernel(
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    q_row = q_ref[0, 0]  # (tt, th, W, D)
+    # q arrives PRE-SCALED by scale*log2(e) (host side), so the kernel's only
+    # per-score VPU work in "fast" mode is exp2 + sum + cast
+    q_row = q_ref[0, 0]  # (q_mult*tt, th, W, D)
     qs = [
         q_row[:, :, wi * tw : (wi + 1) * tw, :].reshape(tpt, d)
         for wi in range(nw)
@@ -95,6 +115,21 @@ def _kernel(
     v_chunk = v_ref[0, 0]
 
     def soft_pv(wi, s, v_wi):
+        if softmax == "fast":
+            # Unnormalized exp: softmax output is invariant to a constant
+            # scaling of p, so no running max and no acc/l rescaling.  Safe
+            # for qk-normed models: |s| <= scale*log2e*d*g^2 stays far from
+            # f32 exp2 overflow (see sta_pipe_attention docstring).
+            p = jnp.exp2(s)
+            l_s[wi] += jnp.sum(p, axis=-1, keepdims=True)
+            if cast_p_to_v_dtype and v_wi.dtype != jnp.float32:
+                p = p.astype(v_wi.dtype)
+            acc_s[wi] += jax.lax.dot_general(
+                p, v_wi,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return
         m_prev = m_s[wi]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp2(s - m_new)
@@ -118,7 +153,7 @@ def _kernel(
             qs[wi], k_wi,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (scale * LOG2E)
+        )
         if variant == "qk":
             acc_s[wi] += jnp.sum(s, axis=-1, keepdims=True) * 1e-3
             continue
@@ -143,14 +178,14 @@ def _kernel(
                     qs[wi], kt,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * (scale * LOG2E) + bias_ref[0][None, :]
+                ) + bias_ref[0][None, :]
                 soft_pv(wi, s, vt)
         a = (active_ref[g] > 0).astype(jnp.float32)
         for wi in range(nw):
             l = l_s[wi]
             out = acc_s[wi] / jnp.where(l == 0.0, 1.0, l)
             out_ref[0, 0, :, :, wi * tw : (wi + 1) * tw, :] = (
-                (out * a).reshape(tt, th, tw, d).astype(out_ref.dtype)
+                (out * a).reshape(q_mult * tt, th, tw, d).astype(out_ref.dtype)
             )
 
 
@@ -194,9 +229,20 @@ def sta_pipe_attention(
     text_bias: Optional[jax.Array] = None,
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
+    softmax: str = "fast",
     variant: str = "full",
 ) -> jax.Array:
-    """Same contract as ops.sta_row.sta_row_attention."""
+    """Same contract as ops.sta_row.sta_row_attention.
+
+    ``softmax="fast"`` (default) drops the online running max: q is
+    pre-scaled by scale*log2(e) on the host and the kernel computes
+    unnormalized ``p = exp2(s)`` — softmax output is invariant to constant
+    scaling of p, so correctness is unchanged as long as exp2 stays inside
+    f32 range.  For qk-RMSNormed models (Wan and Hunyuan both):
+    |s| <= scale*log2e*d*g_q*g_k ~= 16.3*g^2 for d=128, far from the f32
+    exp2 limit of 127 for any plausible learned gain.  Pass
+    ``softmax="stable"`` for un-normalized q/k distributions.
+    """
     b, n_heads, s, d = q.shape
     t, hh, w = latent_shape
     if s != t * hh * w:
@@ -214,17 +260,22 @@ def sta_pipe_attention(
     nt, nh, nw = t // tt, hh // th, w // tw
     win_eff = (min(window[0], nt), min(window[1], nh), min(window[2], nw))
     w_starts = _w_window_starts(latent_shape, tile, window)
-    tpt = tt * th * tw
-    n_rows = nt * nh
+    qm = _q_mult(latent_shape, tile, window)
+    tpt = qm * tt * th * tw
+    n_rows = (nt // qm) * nh
     n_chunks = win_eff[0] * win_eff[1]
 
     # row window starts in TILE units: exact block indices for the K/V maps
-    starts_el = _row_starts(latent_shape, tile, window)
+    # (supertiled cells use the start of their first row — identical by
+    # construction of _q_mult)
+    starts_el = _row_starts(latent_shape, tile, window).reshape(nt, nh, 2)
+    starts_el = starts_el[::qm].reshape(n_rows, 2)
     tab = jnp.asarray(
         np.stack([starts_el[:, 0] // tt, starts_el[:, 1] // th], axis=1),
         jnp.int32,
     )
-    q6 = q.reshape(b, n_heads, t, hh, w, d)
+    # fold the scale and the exp->exp2 base change into q once, host-side
+    q6 = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(b, n_heads, t, hh, w, d)
     k6 = k.reshape(b, n_heads, t, hh, w, d)
     v6 = v.reshape(b, n_heads, t, hh, w, d)
     text_len = 0
@@ -246,6 +297,8 @@ def sta_pipe_attention(
         n_chunks=n_chunks,
         text_len=text_len,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
+        q_mult=qm,
+        softmax=softmax,
         variant=variant,
     )
 
@@ -260,7 +313,7 @@ def sta_pipe_attention(
                 tab_ref[ii, 1] + jj - (jj // wh) * wh, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, tt, th, w, d), q_map),
+        pl.BlockSpec((1, 1, qm * tt, th, w, d), q_map),
         pl.BlockSpec((1, 1, tt, th, w, d), kv_map),
         pl.BlockSpec((1, 1, tt, th, w, d), kv_map),
     ]
@@ -288,7 +341,7 @@ def sta_pipe_attention(
             num_scalar_prefetch=2,
             grid=(b, n_heads, n_rows, n_chunks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, tt, th, w, d), q_map),
+            out_specs=pl.BlockSpec((1, 1, qm * tt, th, w, d), q_map),
             scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct(q6.shape, q.dtype),

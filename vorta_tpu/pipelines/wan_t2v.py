@@ -65,7 +65,7 @@ class WanT2VPipeline:
         shape = (batch, t, height // 8, width // 8, cfg.in_channels)
         return jax.random.normal(key, shape, jnp.float32)
 
-    def _build_loop(self, sampling: SamplingConfig):
+    def _build_loop(self, sampling: SamplingConfig, has_image: bool = False):
         from ..schedulers.unipc import UniPCSchedule, unipc_sample_step
 
         if sampling.scheduler == "unipc":
@@ -87,7 +87,8 @@ class WanT2VPipeline:
         return_scores = sampling.return_scores
 
         @nnx.jit
-        def run(model: WanModel, latents, prompt_embeds, negative_prompt_embeds):
+        def run(model: WanModel, latents, prompt_embeds, negative_prompt_embeds,
+                image_embeds):
             sigmas = jnp.asarray(schedule.sigmas)
             timesteps = jnp.asarray(schedule.timesteps)
             n_steps = schedule.num_steps
@@ -103,16 +104,21 @@ class WanT2VPipeline:
                     attn_cfg=attn_cfg,
                     routing_mode=routing_mode,
                     return_scores=return_scores,
+                    image_context=image_embeds,
                     interpret=interpret,
                 )
                 velocity = out.sample.astype(jnp.float32)
                 if do_cfg:
+                    # image conditioning stays on for the uncond pass
+                    # (reference I2V: encoder image tokens are not dropped
+                    # for CFG — vorta/attention/wan.py:119-139)
                     out_u = model(
                         x.astype(model.dtype),
                         t,
                         negative_prompt_embeds,
                         attn_cfg=attn_cfg,
                         routing_mode=routing_mode,
+                        image_context=image_embeds,
                         interpret=interpret,
                     )
                     vu = out_u.sample.astype(jnp.float32)
@@ -145,31 +151,31 @@ class WanT2VPipeline:
         mesh = self.mesh
         graphdef, _ = nnx.split(self.model)
 
-        def velocity_fn(state, x, pe, ne, t):
+        def velocity_fn(state, x, pe, ne, img, t):
             model = nnx.merge(graphdef, state)
             out = model(
                 x.astype(model.dtype), t, pe,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
-                interpret=interpret, sp_axis="sp",
+                image_context=img, interpret=interpret, sp_axis="sp",
             )
             v = out.sample.astype(jnp.float32)
             if do_cfg:
                 vu = model(
                     x.astype(model.dtype), t, ne,
                     attn_cfg=attn_cfg, routing_mode=routing_mode,
-                    interpret=interpret, sp_axis="sp",
+                    image_context=img, interpret=interpret, sp_axis="sp",
                 ).sample.astype(jnp.float32)
                 v = vu + guidance_scale * (v - vu)
             return v
 
         smapped = shard_map(
             velocity_fn, mesh=mesh,
-            in_specs=(P(), P(None, "sp"), P(), P(), P()),
+            in_specs=(P(), P(None, "sp"), P(), P(), P(), P()),
             out_specs=P(None, "sp"),
             check_vma=False,
         )
 
-        def run_sp(model, latents, pe, ne):
+        def run_sp(model, latents, pe, ne, image_embeds):
             _, state = nnx.split(model)
             sigmas = jnp.asarray(schedule.sigmas)
             timesteps = jnp.asarray(schedule.timesteps)
@@ -179,11 +185,11 @@ class WanT2VPipeline:
             )
 
             @jax.jit
-            def loop(state, latents, pe, ne):
+            def loop(state, latents, pe, ne, image_embeds):
                 def body(carry, i):
                     x, m_prev, m_prev2, x_prev = carry
                     t = jnp.full((x.shape[0],), timesteps[i])
-                    v = smapped(state, x, pe, ne, t)
+                    v = smapped(state, x, pe, ne, image_embeds, t)
                     if use_unipc:
                         x_next, m_i, x_hist = unipc_sample_step(
                             x, v, i, sigmas, m_prev, x_prev, n_steps,
@@ -202,7 +208,7 @@ class WanT2VPipeline:
                 )
                 return x
 
-            return loop(state, latents, pe, ne), None
+            return loop(state, latents, pe, ne, image_embeds), None
 
         return run_sp
 
@@ -212,12 +218,22 @@ class WanT2VPipeline:
         prompt_embeds: jax.Array,  # (B, L, text_dim)
         negative_prompt_embeds: Optional[jax.Array] = None,
         sampling: SamplingConfig = SamplingConfig(),
+        image_embeds: Optional[jax.Array] = None,  # (B, 257, image_dim) I2V
     ):
-        """Returns (final_latents, per-step routing scores if requested)."""
-        if sampling not in self._loop_cache:
-            self._loop_cache[sampling] = self._build_loop(sampling)
+        """Returns (final_latents, per-step routing scores if requested).
+
+        ``image_embeds`` (CLIP image tokens) enables the I2V image-KV cross
+        attention branch (reference: vorta/attention/wan.py:72-75,119-139);
+        the model must be configured with ``image_dim``.
+        """
+        key = (sampling, image_embeds is not None)
+        if key not in self._loop_cache:
+            self._loop_cache[key] = self._build_loop(
+                sampling, has_image=image_embeds is not None
+            )
         if negative_prompt_embeds is None:
             negative_prompt_embeds = jnp.zeros_like(prompt_embeds)
-        return self._loop_cache[sampling](
-            self.model, latents, prompt_embeds, negative_prompt_embeds
+        return self._loop_cache[key](
+            self.model, latents, prompt_embeds, negative_prompt_embeds,
+            image_embeds,
         )
