@@ -40,6 +40,7 @@ def _kernel(
     block_q: int,
     block_kv: int,
     cast_p_to_v_dtype: bool,
+    softmax: str = "stable",  # "stable" (running max) | "fast" (see wrapper)
 ):
     it = iter(refs)
     kv_index_ref = next(it)
@@ -124,7 +125,8 @@ def _kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * (scale * LOG2E)
+        if softmax != "fast":  # fast mode: q arrives pre-scaled (host side)
+            s = s * (scale * LOG2E)
 
         kv_block = kv_index_ref[th, i, j]
         if has_bias:
@@ -149,6 +151,21 @@ def _kernel(
             limit = jnp.where(kv_block == last_block, in_block, block_kv)
             s = jnp.where(col_iota < limit, s, NEG_INF)
 
+        if softmax == "fast":
+            # unnormalized exp: constant scalings of p cancel in acc/l, so
+            # no running max and no rescales (safe for qk-normed inputs —
+            # see ops/sta_pipe.py for the f32 range argument); masked
+            # entries (s = -1e30) underflow exp2 to exactly 0
+            p = jnp.exp2(s)
+            l_s[...] += jnp.sum(p, axis=-1, keepdims=True)
+            if cast_p_to_v_dtype and v.dtype != jnp.float32:
+                p = p.astype(v.dtype)
+            acc_s[...] += jax.lax.dot_general(
+                p, v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
         m_prev = m_s[...]
         l_prev = l_s[...]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -191,12 +208,17 @@ def sparse_flash_attention_manual(
     kv_bias: Optional[jax.Array] = None,
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
+    softmax: str = "stable",
 ) -> jax.Array:
     """Same contract as ops.flash.sparse_flash_attention_raw (forward only).
 
     kv_bias: optional (1, Skv) f32 additive logits bias (e.g. -1e30 on padded
     kv positions — handles traced/mid-sequence padding that static tables
     cannot express, like per-prompt text lengths in joint attention).
+
+    softmax="fast" drops the online running max (q pre-scaled host-side,
+    unnormalized exp2 — output invariant to p's constant scale).  Only for
+    qk-normed inputs: see ops/sta_pipe.py for the f32 range argument.
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -230,6 +252,9 @@ def sparse_flash_attention_manual(
         subtile = (tokens_per_tile, m_sub, k_sub)
     per_head_valid = kv_valid is not None
 
+    if softmax == "fast":
+        q = q * jnp.asarray(scale * LOG2E, q.dtype)
+
     has_bias = kv_bias is not None
     kernel = functools.partial(
         _kernel,
@@ -243,6 +268,7 @@ def sparse_flash_attention_manual(
         block_q=block_q,
         block_kv=block_kv,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
+        softmax=softmax,
     )
 
     prefetch = [kv_index, kv_count]

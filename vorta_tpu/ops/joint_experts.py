@@ -211,7 +211,7 @@ def joint_full_attention(
     out = sparse_flash_attention_manual(
         q, k, v, jnp.asarray(idx), cnt_t,
         scale=scale, block_q=layout.block_q, block_kv=layout.block_kv,
-        kv_bias=bias, interpret=interpret,
+        kv_bias=bias, interpret=interpret, softmax="fast",
     )
     return _split(out, layout, jcfg.video.seq_len, jcfg.text_len)
 
@@ -238,7 +238,7 @@ def joint_lowres_attention(
     out = sparse_flash_attention_manual(
         q, k, v, jnp.asarray(idx), cnt_t,
         scale=scale, block_q=layout.block_q, block_kv=layout.block_kv,
-        kv_bias=bias, interpret=interpret,
+        kv_bias=bias, interpret=interpret, softmax="fast",
     )
     pooled_out, text_out = _split(out, layout, groups.pooled_length, jcfg.text_len)
     video_out = unpool_by_similarity(pooled_out, groups, q_match).astype(qv.dtype)
@@ -303,9 +303,15 @@ def _joint_sta_window_dense(
         scale=scale, text_k=kt, text_v=vt, text_bias=text_bias,
         interpret=interpret,
     )
-    if supports_row_dense(cfg.latent_shape, cfg.sta_tile, qv.shape[-1],
-                          qv.dtype.itemsize, text_len=kt.shape[2],
-                          window=cfg.sta_window):
+    from .sta_pipe import sta_pipe_attention, supports_pipe
+
+    if supports_pipe(cfg.latent_shape, cfg.sta_tile, qv.shape[-1],
+                     qv.dtype.itemsize, text_len=kt.shape[2],
+                     window=cfg.sta_window):
+        video_out = sta_pipe_attention(qv, kv_, vv, active, **sta_kw)
+    elif supports_row_dense(cfg.latent_shape, cfg.sta_tile, qv.shape[-1],
+                            qv.dtype.itemsize, text_len=kt.shape[2],
+                            window=cfg.sta_window):
         video_out = sta_row_attention(qv, kv_, vv, active, **sta_kw)
     else:
         video_out = sta_window_attention(qv, kv_, vv, active, **sta_kw)
@@ -342,7 +348,7 @@ def _joint_sta_window_dense(
         kv_valid_len=s_all,
         kv_bias=jnp.pad(bias_joint, ((0, 0), (0, nkv * bkv - s_all)),
                         constant_values=NEG),
-        interpret=interpret,
+        interpret=interpret, softmax="fast",
     )
     return video_out, out_t[:, :, :lt]
 

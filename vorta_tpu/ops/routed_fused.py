@@ -31,15 +31,19 @@ from .coreset import pool_by_similarity, unpool_by_similarity
 from .experts import FULL, LOWRES, STA, lowres_groups_for
 from .flash_manual import sparse_flash_attention_manual
 from .layout import tile_sequence, untile_sequence
+from .sta_pipe import sta_pipe_attention, supports_pipe
 from .sta_row import sta_row_attention, supports_row_dense
 from .sta_window import prefer_window_dense, sta_window_attention
 
 
 def _sta_dispatch(q, k, v, active, cfg, scale, interpret):
-    """Best eligible STA kernel: row-dense (v5, shared whole-width slabs)
-    when it fits, else window-dense (v4)."""
+    """Best eligible STA kernel: grid-pipelined row-dense (v6) when it fits,
+    else manual-DMA row-dense (v5), else window-dense (v4)."""
     kw = dict(latent_shape=cfg.latent_shape, tile=cfg.sta_tile,
               window=cfg.sta_window, scale=scale, interpret=interpret)
+    if supports_pipe(cfg.latent_shape, cfg.sta_tile, q.shape[-1],
+                     q.dtype.itemsize, window=cfg.sta_window):
+        return sta_pipe_attention(q, k, v, active, **kw)
     if supports_row_dense(cfg.latent_shape, cfg.sta_tile, q.shape[-1],
                           q.dtype.itemsize, window=cfg.sta_window):
         return sta_row_attention(q, k, v, active, **kw)
@@ -201,6 +205,7 @@ def _masked_call(
         pair_bits=jnp.asarray(call.pair_bits) if call.pair_bits is not None else None,
         tokens_per_tile=tokens_per_tile if call.pair_bits is not None else None,
         interpret=interpret,
+        softmax="fast",  # all callers route qk-normed DiT tensors here
     )
     return out
 
