@@ -22,13 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-
-def psnr(a: np.ndarray, b: np.ndarray) -> float:
-    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
-    if mse == 0:
-        return float("inf")
-    peak = float(max(np.abs(a).max(), np.abs(b).max()))
-    return 10.0 * np.log10(peak * peak / mse)
+from vorta_tpu.io.quality import lpips, psnr, routing_mix, ssim, vbench_scaffold
 
 
 def main(argv=None):
@@ -50,6 +44,12 @@ def main(argv=None):
     p.add_argument("--tau_sparse", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--output_dir", default="results/compare")
+    p.add_argument("--tau_sweep", default=None,
+                   help="comma list of tau_sparse values; per-tau routed "
+                        "sample + quality metrics + routing mix")
+    p.add_argument("--lpips_weights", default=None,
+                   help="local LPIPS net weights (no pretrained nets ship "
+                        "in this environment; lpips is null without this)")
     args = p.parse_args(argv)
 
     import jax
@@ -122,10 +122,13 @@ def main(argv=None):
             guidance_scale=args.guidance_scale,
             flow_shift=args.flow_shift,
             routing_mode=mode,
+            return_scores=mode == "hard",
         )
         # the fixed-seed sample (for the PSNR comparison)
-        latents, _ = pipe(noise, pe, ne, sampling=sampling)
+        latents, scores = pipe(noise, pe, ne, sampling=sampling)
         latents.block_until_ready()
+        if mode == "hard" and scores is not None:
+            results["routing_mix"] = routing_mix(np.asarray(scores), args.tau_sparse)
         (out_dir / name).mkdir(parents=True, exist_ok=True)
         np.save(out_dir / name / "latents.npy", np.asarray(latents))
         # timing uses FRESH noise: the remote TPU tunnel value-caches
@@ -148,7 +151,50 @@ def main(argv=None):
     a = np.load(out_dir / "baseline" / "latents.npy")
     b = np.load(out_dir / "vorta" / "latents.npy")
     results["psnr_vorta_vs_baseline_db"] = round(psnr(a, b), 2)
+    results["ssim_vorta_vs_baseline"] = round(ssim(a, b), 4)
+    results["lpips_vorta_vs_baseline"] = lpips(a, b, args.lpips_weights)
+    results["vbench"] = vbench_scaffold()
     results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
+
+    if args.tau_sweep:
+        # quality-vs-speedup trade as tau_sparse moves routed heads back to
+        # full attention (reference fallback: wan.py:398-399)
+        sweep = []
+        for tau in (float(t) for t in args.tau_sweep.split(",")):
+            import dataclasses as _dc
+
+            cfg_t = _dc.replace(attn_cfg, tau_sparse=tau)
+            pipe_t = WanT2VPipeline(model, attn_cfg=cfg_t, interpret=interpret)
+            sampling = SamplingConfig(
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                flow_shift=args.flow_shift,
+                routing_mode="hard",
+                return_scores=True,
+            )
+            lat_t, scores_t = pipe_t(noise, pe, ne, sampling=sampling)
+            lat_t.block_until_ready()
+            fresh = pipe.prepare_latents(
+                jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF),
+                1, args.num_frames, args.height, args.width,
+            )
+            t0 = time.time()
+            out, _ = pipe_t(fresh, pe, ne, sampling=sampling)
+            out.block_until_ready()
+            dt = time.time() - t0
+            lat_np = np.asarray(lat_t)
+            row = {
+                "tau": tau,
+                "seconds": round(dt, 2),
+                "speedup": round(results["baseline"]["seconds"] / dt, 3),
+                "psnr_db": round(psnr(a, lat_np), 2),
+                "ssim": round(ssim(a, lat_np), 4),
+                "mix": routing_mix(np.asarray(scores_t), tau),
+            }
+            sweep.append(row)
+            print(f"[tau={tau}] {json.dumps(row)}", flush=True)
+        results["tau_sweep"] = sweep
+
     (out_dir / "summary.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results), flush=True)
 
@@ -238,6 +284,9 @@ def _main_hunyuan(args, interpret):
     a = np.load(out_dir / "baseline" / "latents.npy")
     b = np.load(out_dir / "vorta" / "latents.npy")
     results["psnr_vorta_vs_baseline_db"] = round(psnr(a, b), 2)
+    results["ssim_vorta_vs_baseline"] = round(ssim(a, b), 4)
+    results["lpips_vorta_vs_baseline"] = lpips(a, b, args.lpips_weights)
+    results["vbench"] = vbench_scaffold()
     results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
     (out_dir / "summary.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results), flush=True)
