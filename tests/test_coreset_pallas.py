@@ -1,0 +1,67 @@
+"""Fused Pallas pool/unpool (ops/coreset_pallas) vs the XLA path (ops/coreset)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vorta_tpu.geometry import build_lowres_groups
+from vorta_tpu.ops.coreset import Matching, pool_by_similarity, unpool_by_similarity
+from vorta_tpu.ops.coreset_pallas import pool_qkv, unpool
+
+LATENT = (4, 6, 16)
+WINDOW = (2, 3, 2)
+
+
+def _mk(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape), jnp.float32)
+
+
+@pytest.mark.parametrize("kv_from_k", [False, True])
+def test_pool_matches_xla(kv_from_k):
+    groups = build_lowres_groups(LATENT, WINDOW)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(LATENT))
+    q, k, v = _mk((b, h, s, d), 0), _mk((b, h, s, d), 1), _mk((b, h, s, d), 2)
+
+    pq, pk, pv = pool_qkv(q, k, v, groups, kv_matching_from_k=kv_from_k,
+                          interpret=True)
+
+    rq, m_q = pool_by_similarity(q, groups)
+    if kv_from_k:
+        rk, m_k = pool_by_similarity(k, groups)
+        rv, _ = pool_by_similarity(v, groups, m_k)
+    else:
+        rk, _ = pool_by_similarity(k, groups, m_q)
+        rv, _ = pool_by_similarity(v, groups, m_q)
+
+    np.testing.assert_allclose(np.asarray(pq), np.asarray(rq), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk), np.asarray(rk), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(rv), rtol=1e-5, atol=1e-5)
+
+
+def test_unpool_matches_xla():
+    groups = build_lowres_groups(LATENT, WINDOW)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(LATENT))
+    q = _mk((b, h, s, d), 3)
+    attn_out = _mk((b, h, groups.pooled_length, d), 4)
+
+    out = unpool(attn_out, q, groups, interpret=True)
+    _, m_q = pool_by_similarity(q, groups)
+    ref = unpool_by_similarity(attn_out, groups, m_q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pool_unpool_roundtrip_keeps_selected():
+    """Kept tokens and centers survive a pool->unpool round trip."""
+    groups = build_lowres_groups(LATENT, WINDOW)
+    b, h, d = 1, 1, 16
+    s = int(np.prod(LATENT))
+    q = _mk((b, h, s, d), 5)
+    pq, _, _ = pool_qkv(q, q, q, groups, interpret=True)
+    back = unpool(pq, q, groups, interpret=True)
+    # every kept position gets its own value back; dropped get the center
+    rq, m_q = pool_by_similarity(q, groups)
+    ref = unpool_by_similarity(rq, groups, m_q)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(ref), rtol=1e-5, atol=1e-5)

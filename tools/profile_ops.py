@@ -22,6 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="pool")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--layers", type=int, default=0,
+                    help="depth-reduce the model (0 = full); per-block op mix is identical")
     args = ap.parse_args()
 
     attn = AttentionConfig(
@@ -63,7 +65,12 @@ def main():
         from vorta_tpu.models.wan import WanModel
         from vorta_tpu.training.step import router_partition
 
-        model = WanModel(WAN_1_3B, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        import dataclasses
+
+        mcfg = WAN_1_3B
+        if args.layers:
+            mcfg = dataclasses.replace(mcfg, num_layers=args.layers)
+        model = WanModel(mcfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                          rngs=nnx.Rngs(0))
         graphdef, rstate, fstate = router_partition(model)
         bench_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -74,9 +81,9 @@ def main():
 
             rstate = load_router_npz(rstate, ckpt)
         latents = jax.random.normal(
-            jax.random.PRNGKey(0), (b, 20, 90, 160, WAN_1_3B.in_channels), jnp.bfloat16)
+            jax.random.PRNGKey(0), (b, 20, 90, 160, mcfg.in_channels), jnp.bfloat16)
         context = jax.random.normal(
-            jax.random.PRNGKey(1), (b, WAN_1_3B.text_len, WAN_1_3B.text_dim), jnp.bfloat16)
+            jax.random.PRNGKey(1), (b, mcfg.text_len, mcfg.text_dim), jnp.bfloat16)
         mode = "hard" if args.which == "model_routed" else "off"
 
         @jax.jit

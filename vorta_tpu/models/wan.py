@@ -357,6 +357,7 @@ class WanModel(nnx.Module):
         sp_axis: Optional[str] = None,
         frozen_sharded_axis: Optional[str] = None,
         remat_blocks: bool = False,
+        quantized_blocks=None,
     ) -> WanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -370,7 +371,16 @@ class WanModel(nnx.Module):
         num_layers/P blocks); the block loop fetches one block per step with
         a psum broadcast from its owner, so peak per-chip weight memory is
         (params/P + one block) instead of all params.  Router params (tiny)
-        stay replicated."""
+        stay replicated.
+
+        ``quantized_blocks``: single-chip analog for models that exceed one
+        chip's HBM even alone (Wan-14B, 28 GB bf16 > 16 GB v5e): a stacked
+        block-state pytree whose large weights are ops/quant.QTensor
+        (int4/int8); the scan dequantizes ONE block per step, so peak HBM is
+        quantized stack + one bf16 block.  Replaces the reference's model
+        CPU offload (scripts/wan/inference.py:156-162).  Overrides
+        ``self.blocks``'s own (typically depth-1 placeholder) state; the
+        scan length comes from the quantized stack's leading dim."""
         cfg = self.cfg
         b, t_px, h_px, w_px, _ = latents.shape
         pt, ph, pw = cfg.patch_size
@@ -425,6 +435,10 @@ class WanModel(nnx.Module):
             if frozen_sharded_axis is not None:
                 block: WanBlock = block_at(bstate)  # bstate is the layer index
             else:
+                if quantized_blocks is not None:
+                    from ..ops.quant import dequantize_tree
+
+                    bstate = dequantize_tree(bstate)
                 block: WanBlock = nnx.merge(block_graphdef, bstate)
             xs, xt, reg, hid = carry
             xs, scores = block(
@@ -454,11 +468,12 @@ class WanModel(nnx.Module):
             # analogue: per-block activation checkpointing in train.py.
             run_block = jax.checkpoint(run_block, prevent_cse=False)
         zero = jnp.zeros((), jnp.float32)
-        scan_xs = (
-            jnp.arange(cfg.num_layers)
-            if frozen_sharded_axis is not None
-            else block_state
-        )
+        if frozen_sharded_axis is not None:
+            scan_xs = jnp.arange(cfg.num_layers)
+        elif quantized_blocks is not None:
+            scan_xs = quantized_blocks
+        else:
+            scan_xs = block_state
         (x, x_t, reg_loss, hidden_loss), all_scores = jax.lax.scan(
             run_block, (x, x, zero, zero), scan_xs
         )

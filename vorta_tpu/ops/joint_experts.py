@@ -224,9 +224,11 @@ def joint_lowres_attention(
     groups = lowres_groups_for(cfg)
     layout = joint_layouts(jcfg)["lowres"]
     h = qv.shape[1]
-    pq, q_match = pool_by_similarity(qv, groups)
-    pk, k_match = pool_by_similarity(kv_, groups)  # hunyuan: fresh matching for K
-    pv, _ = pool_by_similarity(vv, groups, k_match)
+    # fused Pallas pool; hunyuan keys get their own matching (hunyuan.py:433-438)
+    from .coreset_pallas import pool_qkv, unpool as unpool_pallas
+
+    pq, pk, pv = pool_qkv(qv, kv_, vv, groups, kv_matching_from_k=True,
+                          interpret=interpret)
     q = _assemble(pq, qt, layout)
     k = _assemble(pk, kt, layout)
     v = _assemble(pv, vt, layout)
@@ -241,7 +243,8 @@ def joint_lowres_attention(
         kv_bias=bias, interpret=interpret, softmax="fast",
     )
     pooled_out, text_out = _split(out, layout, groups.pooled_length, jcfg.text_len)
-    video_out = unpool_by_similarity(pooled_out, groups, q_match).astype(qv.dtype)
+    video_out = unpool_pallas(pooled_out, qv, groups,
+                              interpret=interpret).astype(qv.dtype)
     return video_out, text_out
 
 

@@ -1,0 +1,128 @@
+"""Weight-only quantization for streaming large frozen DiTs on one chip.
+
+Wan-14B (28 GB bf16) and full-depth HunyuanVideo (26 GB) exceed a single
+v5e's 16 GB HBM.  The reference answers with model CPU offload
+(scripts/wan/inference.py:156-162) — per-block host->device copies that a
+remote-tunneled TPU cannot sustain.  The TPU-native answer: keep the
+stacked frozen block weights resident in HBM at int4/int8 and dequantize
+ONE block per scan step inside the denoise jit (symmetric per-output-channel
+scales).  Peak HBM = quantized stack + one bf16 block + activations; the
+MXU still runs bf16 so the kernel path is unchanged.
+
+Quantization error is irrelevant for the *speed* benchmark (random-init
+weights), and for serving the standard weight-only-int4 quality trade
+applies.  All packing runs host-side in numpy; dequantization is traced
+VPU work (shift/mask/scale) costing ~1.5 ms per 14B block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """A quantized stacked weight: int4 (packed two-per-uint8 along the
+    second-to-last axis) or int8, with per-(layer, out-channel) scales."""
+
+    q: Any  # uint8 (int4, packed) or int8, leading dim = layers
+    scale: Any  # (L, ..., out) float32
+    shape: tuple  # original per-layer shape INCLUDING the leading L
+    dtype: Any  # original dtype (static string repr kept via aux)
+    bits: int
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.shape, str(self.dtype), self.bits)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale = children
+        shape, dtype, bits = aux
+        return cls(q=q, scale=scale, shape=shape, dtype=dtype, bits=bits)
+
+
+def _quantize_leaf(w: np.ndarray, bits: int) -> QTensor:
+    """Symmetric per-output-channel (last axis) quantization of (L, ..., out)."""
+    orig_dtype = w.dtype
+    wf = np.asarray(w, np.float32)
+    red_axes = tuple(range(1, wf.ndim - 1))
+    amax = np.abs(wf).max(axis=red_axes, keepdims=True) if red_axes else np.abs(wf)
+    amax = np.maximum(amax, 1e-12)
+    if bits == 8:
+        scale = amax / 127.0
+        q = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
+    elif bits == 4:
+        scale = amax / 7.0
+        q4 = np.clip(np.rint(wf / scale), -7, 7).astype(np.int8) + 8  # [1, 15]
+        if wf.ndim < 2 or wf.shape[-2] % 2:
+            raise ValueError(f"int4 packing needs even second-to-last dim, got {wf.shape}")
+        hi = q4[..., 0::2, :]
+        lo = q4[..., 1::2, :]
+        q = (hi.astype(np.uint8) << 4) | lo.astype(np.uint8)
+    else:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    return QTensor(q=q, scale=scale.astype(np.float32),
+                   shape=tuple(w.shape), dtype=orig_dtype, bits=bits)
+
+
+def dequantize(qt: QTensor) -> jax.Array:
+    """Traced dequantization of one layer-slice (or the full stack)."""
+    per_layer = qt.q.ndim == len(qt.shape) - 1  # sliced by scan: L dim gone
+    shape = qt.shape[1:] if per_layer else qt.shape
+    if qt.bits == 8:
+        w = qt.q.astype(jnp.float32) * qt.scale
+    else:
+        q = qt.q
+        hi = (q >> 4).astype(jnp.int32) - 8
+        lo = (q & 0xF).astype(jnp.int32) - 8
+        # interleave back along the packed (second-to-last) axis
+        stacked = jnp.stack([hi, lo], axis=-2)  # (..., half, 2, out)
+        w = stacked.reshape(shape[:-2] + (shape[-2], shape[-1])).astype(jnp.float32)
+        w = w * qt.scale
+    return w.reshape(shape).astype(jnp.dtype(qt.dtype))
+
+
+def quantize_stacked_tree(
+    state: Any, bits: int = 4, min_bytes: int = 1 << 22,
+) -> Any:
+    """Quantize every large floating leaf of a stacked (L, ...) block-state
+    pytree; small leaves (norms, biases, tables) stay as-is.  Leaves may be
+    numpy or jax arrays; output quantized leaves are numpy (host RAM) until
+    device_put by the caller."""
+
+    def visit(leaf):
+        arr = np.asarray(leaf)
+        if (
+            np.issubdtype(np.asarray(arr).dtype, np.floating)
+            or str(arr.dtype) == "bfloat16"
+        ) and arr.nbytes >= min_bytes and arr.ndim >= 3 and arr.shape[-2] % 2 == 0:
+            return _quantize_leaf(arr, bits)
+        return leaf
+
+    return jax.tree.map(visit, state)
+
+
+def dequantize_tree(qtree: Any) -> Any:
+    """Traced: replace every QTensor in a (scan-sliced) pytree with its
+    dequantized array."""
+    return jax.tree.map(
+        lambda x: dequantize(x) if isinstance(x, QTensor) else x,
+        qtree,
+        is_leaf=lambda x: isinstance(x, QTensor),
+    )
+
+
+def quantized_bytes(qtree: Any) -> int:
+    total = 0
+    for leaf in jax.tree.leaves(qtree, is_leaf=lambda x: isinstance(x, QTensor)):
+        if isinstance(leaf, QTensor):
+            total += np.asarray(leaf.q).nbytes + np.asarray(leaf.scale).nbytes
+        else:
+            total += np.asarray(leaf).nbytes
+    return total

@@ -234,14 +234,16 @@ def fused_routed_attention(
     s = cfg.seq_len
 
     def lowres_head(qh, kh, vh):
-        pq, matching = pool_by_similarity(qh, groups)
-        pk, _ = pool_by_similarity(kh, groups, matching)
-        pv, _ = pool_by_similarity(vh, groups, matching)
+        # fused Pallas pool: one slab read of q/k/v, matching shared
+        # (reference wan.py:250-255); unpool re-derives the matching
+        from .coreset_pallas import pool_qkv, unpool
+
+        pq, pk, pv = pool_qkv(qh, kh, vh, groups, interpret=interpret)
         out_p = _masked_call(
             geo.lowres, pq, pk, pv,
             jnp.ones((1,), bool), geo.tokens_per_tile, scale, interpret,
         )[:, :, : groups.pooled_length]
-        return unpool_by_similarity(out_p, groups, matching).astype(q.dtype)
+        return unpool(out_p, qh, groups, interpret=interpret).astype(q.dtype)
 
     if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
 
