@@ -24,6 +24,10 @@ def device_seconds(fn, *args, iters=4):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--which", default="both", choices=["both", "xla", "pallas"])
+    args = ap.parse_args()
     attn = AttentionConfig(latent_shape=(20, 45, 80), sta_window=(3, 3, 3),
                            sta_tile=(5, 9, 8), lowres_window=(2, 3, 2),
                            block_q=1024, block_kv=1024)
@@ -47,6 +51,8 @@ def main():
         return unpool(pq + pk + pv, qq, groups).astype(jnp.float32).mean()
 
     for name, fn in (("xla", xla), ("pallas", pallas)):
+        if args.which not in ("both", name):
+            continue
         sec = device_seconds(fn, q, k, v)
         print(f"{name:8s} {sec*1e3:8.2f} ms", flush=True)
 

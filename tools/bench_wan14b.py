@@ -1,0 +1,149 @@
+"""Full-depth Wan-14B routed-vs-full denoise benchmark on ONE v5e.
+
+Wan2.1-14B bf16 (28 GB) exceeds the chip's 16 GB HBM; the reference runs it
+with model CPU offload (scripts/wan/inference.py:156-162).  Here the stacked
+frozen block weights live in HBM at int4 (ops/quant, ~7 GB incl. scales) and
+every scan step dequantizes one block to bf16 before running it — all 40
+blocks, the real 720p geometry, no depth extrapolation.
+
+The routers are random-init with their final-layer bias set so the hard
+routing reproduces the 1.3B trained-router head mix (0% full / 39% lowres /
+61% STA, assets/bench_router_wan1_3b.npz protocol) — documented as
+"trained-mix emulation" since no 14B router checkpoint exists in this
+environment.
+
+Usage: python tools/bench_wan14b.py [--bits 4] [--iters 2] [--routing both]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--routing", default="both", choices=["both", "off", "hard"])
+    ap.add_argument("--frames", type=int, default=77)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=1280)
+    args = ap.parse_args()
+
+    import dataclasses
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from flax import nnx
+
+    from vorta_tpu.config import WAN_14B, AttentionConfig
+    from vorta_tpu.models.wan import WanModel
+    from vorta_tpu.ops.quant import QTensor, quantize_stacked_tree, quantized_bytes
+
+    cfg = WAN_14B
+    t_lat = (args.frames - 1) // 4 + 1
+    grid = (t_lat, args.height // 16, args.width // 16)
+    attn = AttentionConfig(
+        latent_shape=grid, sta_window=(3, 3, 3), sta_tile=(5, 9, 8),
+        lowres_window=(2, 3, 2), block_q=1024, block_kv=1024, tau_sparse=0.3,
+    )
+
+    # depth-1 host model supplies the non-block modules + the block graphdef;
+    # the real 40-block stack arrives via quantized_blocks
+    cfg1 = dataclasses.replace(cfg, num_layers=1)
+    model = WanModel(cfg1, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                     rngs=nnx.Rngs(0))
+
+    # abstract full-depth block stack -> host random init -> int4 quantize
+    abs_model = nnx.eval_shape(
+        lambda: WanModel(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                         rngs=nnx.Rngs(0))
+    )
+    _, abs_blocks = nnx.split(abs_model.blocks)
+
+    rng = np.random.default_rng(0)
+    n_heads, n_exp = cfg.num_heads, 3
+    n_lowres = round(0.39 * n_heads)
+
+    def init_leaf(path, leaf):
+        shape, dtype = leaf.shape, leaf.dtype
+        name = "/".join(str(p) for p in path)
+        arr = (rng.standard_normal(shape).astype(np.float32) * 0.02)
+        if "router" in name and "bias" in name:
+            # trained-mix emulation: head h -> lowres (h < 39%*H) else STA
+            bias = np.zeros(shape[-1], np.float32)
+            for h in range(n_heads):
+                e = 1 if h < n_lowres else 2
+                bias[h * n_exp + e] = 8.0
+            arr = np.broadcast_to(bias, shape).copy()
+        return arr.astype(ml_dtypes.bfloat16) if dtype == jnp.bfloat16 else \
+            arr.astype(np.dtype(dtype))
+
+    t0 = time.time()
+    host_blocks = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
+    print(f"[14b] host init {time.time() - t0:.0f}s", flush=True)
+    t0 = time.time()
+    qtree = quantize_stacked_tree(host_blocks, bits=args.bits)
+    del host_blocks
+    print(f"[14b] quantize {time.time() - t0:.0f}s -> "
+          f"{quantized_bytes(qtree) / 2**30:.2f} GiB", flush=True)
+    qtree = jax.tree.map(jnp.asarray, qtree)
+    jax.block_until_ready(jax.tree.leaves(qtree))
+    print("[14b] quantized stack on device", flush=True)
+
+    b = 1
+    latents = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (b, t_lat, args.height // 8, args.width // 8, cfg.in_channels),
+        jnp.bfloat16)
+    context = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+
+    graphdef, state = nnx.split(model)
+
+    results = {}
+    for mode in ("off", "hard"):
+        if args.routing not in ("both", mode):
+            continue
+
+        @jax.jit
+        def run(state, qtree, latents, context):
+            def body(c, i):
+                m = nnx.merge(graphdef, state)
+                lat = latents * (1 + 0.001 * i.astype(jnp.bfloat16))
+                out = m(lat, jnp.full((b,), 500.0), context, attn_cfg=attn,
+                        routing_mode=mode, quantized_blocks=qtree)
+                return c + out.sample.astype(jnp.float32).mean(), ()
+
+            cf, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                 jnp.arange(args.iters))
+            return cf
+
+        t0 = time.time()
+        float(run(state, qtree, latents, context))
+        print(f"[14b] {mode}: compile+first {time.time() - t0:.0f}s", flush=True)
+        t0 = time.time()
+        float(run(state, qtree, latents, context))
+        dt = (time.time() - t0) / args.iters
+        results[mode] = dt
+        print(f"[14b] {mode}: {dt * 1e3:.0f} ms/fwd", flush=True)
+
+    if len(results) == 2:
+        print(json.dumps({
+            "model": "wan-14B", "geometry": f"{args.frames}f@{args.height}p",
+            "bits": args.bits,
+            "full_ms": round(results["off"] * 1e3, 1),
+            "routed_ms": round(results["hard"] * 1e3, 1),
+            "speedup": round(results["off"] / results["hard"], 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -137,12 +137,17 @@ def _shapes(x, groups: LowresGroups):
 
 
 def _cell_split(g: int, gs: int, d: int, itemsize: int) -> int:
-    """Groups per grid cell: bound the 3-tensor VMEM block near ~8 MB."""
-    budget = 8 * 2**20 // (3 * gs * d * max(itemsize, 2))
-    gc = max(1, min(g, budget))
-    while g % gc:
-        gc -= 1
-    return gc
+    """Groups per grid cell: bound the 3-tensor VMEM block near ~8 MB.
+    All output block row counts (gc, gc*u, gc*gs) must be 8-aligned, so gc
+    is the largest divisor of g that is a multiple of 8 (falling back to
+    the full g when none exists — tiny test geometries)."""
+    budget = max(8, 8 * 2**20 // (3 * gs * d * max(itemsize, 2)))
+    best = g
+    for gc in range(min(g, budget), 7, -1):
+        if g % gc == 0 and gc % 8 == 0:
+            best = gc
+            break
+    return best
 
 
 def pool_qkv(
