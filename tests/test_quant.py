@@ -100,3 +100,41 @@ def test_wan_quantized_blocks_forward_matches_dequantized():
                     interpret=True).sample
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hunyuan_quantized_blocks_forward_matches_dequantized():
+    from flax import nnx
+
+    from vorta_tpu.config import AttentionConfig
+    from vorta_tpu.models.hunyuan import HUNYUAN_TINY, HunyuanModel
+
+    cfg = HUNYUAN_TINY
+    attn = AttentionConfig(
+        latent_shape=(4, 4, 4), sta_window=(3, 3, 1), sta_tile=(2, 2, 2),
+        lowres_window=(2, 2, 2), block_q=16, block_kv=16,
+        sta_block_q=8, sta_block_kv=8,
+    )
+    model = HunyuanModel(cfg, rngs=nnx.Rngs(0))
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.standard_normal((1, 4, 8, 8, cfg.in_channels)), jnp.float32)
+    text = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)), jnp.float32)
+    mask = jnp.ones((1, cfg.text_len), bool)
+    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.float32)
+    t = jnp.asarray([500.0])
+
+    qtrees = []
+    for mod in (model.dual_blocks, model.single_blocks):
+        _, bstate = nnx.split(mod)
+        host = jax.tree.map(np.asarray, bstate)
+        qtrees.append(jax.tree.map(jnp.asarray,
+                                   quantize_stacked_tree(host, bits=8, min_bytes=0)))
+
+    out_q = model(lat, t, text, mask, pooled, attn_cfg=attn, routing_mode="off",
+                  interpret=True, quantized_blocks=tuple(qtrees)).sample
+
+    for mod, qt in zip((model.dual_blocks, model.single_blocks), qtrees):
+        nnx.update(mod, dequantize_tree(qt))
+    out_ref = model(lat, t, text, mask, pooled, attn_cfg=attn, routing_mode="off",
+                    interpret=True).sample
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)

@@ -454,11 +454,16 @@ class HunyuanModel(nnx.Module):
         sp_axis: Optional[str] = None,
         frozen_sharded_axis: Optional[str] = None,
         remat_blocks: bool = False,
+        quantized_blocks=None,
     ) -> HunyuanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
         ``attn_cfg.latent_shape`` is the GLOBAL token grid; text conditioning
-        is replicated.  The output is the rank-local frame chunk."""
+        is replicated.  The output is the rank-local frame chunk.
+
+        ``quantized_blocks``: pair of (dual, single) stacked block-state
+        pytrees with ops/quant.QTensor weights for single-chip streaming of
+        the full-depth 13B (see models/wan.py for the mechanism)."""
         cfg = self.cfg
         b, t_px, h_px, w_px, _ = latents.shape
         pt, ph, pw = cfg.patch_size
@@ -487,7 +492,8 @@ class HunyuanModel(nnx.Module):
         if teacher and routing_mode == "off":
             raise ValueError("return_losses requires routed attention")
 
-        def run_stack(blocks_module, n_layers, x, ctx, xt, ct, reg, hid):
+        def run_stack(blocks_module, n_layers, x, ctx, xt, ct, reg, hid,
+                      qtree=None):
             if frozen_sharded_axis is not None:
                 # FSDP-style fallback: frozen block params arrive
                 # layer-sharded; fetch one block per scan step with a psum
@@ -504,12 +510,18 @@ class HunyuanModel(nnx.Module):
                 state = jnp.arange(n_layers)
             else:
                 graphdef, state = nnx.split(blocks_module)
+                if qtree is not None:
+                    state = qtree  # quantized stack overrides resident params
 
             def body(carry, bstate):
                 x, ctx, xt, ct, reg, hid = carry
                 if frozen_sharded_axis is not None:
                     block = block_at(bstate)
                 else:
+                    if qtree is not None:
+                        from ..ops.quant import dequantize_tree
+
+                        bstate = dequantize_tree(bstate)
                     block = nnx.merge(graphdef, bstate)
                 x, ctx, scores = block(
                     x, ctx, temb, clean_temb, rope, text_mask, jcfg,
@@ -542,11 +554,14 @@ class HunyuanModel(nnx.Module):
 
         zero = jnp.zeros((), jnp.float32)
         x_t, c_t = x, ctx
+        q_dual, q_single = quantized_blocks or (None, None)
         x, ctx, x_t, c_t, reg, hid, s1 = run_stack(
-            self.dual_blocks, cfg.dual_layers, x, ctx, x_t, c_t, zero, zero
+            self.dual_blocks, cfg.dual_layers, x, ctx, x_t, c_t, zero, zero,
+            qtree=q_dual,
         )
         x, ctx, x_t, c_t, reg, hid, s2 = run_stack(
-            self.single_blocks, cfg.single_layers, x, ctx, x_t, c_t, reg, hid
+            self.single_blocks, cfg.single_layers, x, ctx, x_t, c_t, reg, hid,
+            qtree=q_single,
         )
 
         def head(hx):

@@ -5,17 +5,16 @@ strided window access patterns and runs the one-hot selection einsums as
 separate fusions — measured ~21 ms for q/k/v pool + unpool at Wan 720p x
 12 heads, vs a ~2 ms streaming floor.
 
-This path pools q, k and v in ONE kernel pass over the *group-major*
-layout: the window relayout runs in XLA (ops/layout.tile_sequence — the
-only data movement), then each grid cell holds a contiguous (Gc*gs, D)
-block of all three tensors in VMEM and does similarity + selection +
-extraction with pure 2-D operations (Mosaic supports 2-D strided row
-slices; any >2-D view with the small group dims in sublane position
-forces unsupported gathers — probed on the v5e).  The matching is
-computed once from Q and shared by K/V (reference: wan.py:250-255), or
-separately from K for Hunyuan (hunyuan.py:433-438).  The unpool kernel
-re-derives Q's matching (identical deterministic arithmetic) and scatters
-attention outputs back, dropped slots receiving their group center.
+This path pools q, k and v in ONE kernel pass over a *slot-major* grouped
+layout (gs, G, D): the relayout runs in XLA (window tiling + one transpose
+— the only data movement), and the kernel addresses each slot as a plain
+leading index — Mosaic rejects both >2-D gathers and sublane-strided
+slices (probed on the v5e), so every in-kernel operand is a clean
+(Gc, D)/(Gc, gs) 2-D tile.  The matching is computed once from Q and
+shared by K/V (reference: wan.py:250-255), or separately from K for
+Hunyuan (hunyuan.py:433-438).  The unpool kernel re-derives Q's matching
+(identical deterministic arithmetic) and scatters attention outputs back,
+dropped slots receiving their group center.
 
 Selection semantics are copied EXACTLY from ops/coreset.py (cosine
 ranking by (c.m)/||m||, center sentinel, U iterative arg-min passes, ties
@@ -33,7 +32,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import LowresGroups
-from .layout import tile_sequence, untile_sequence
 
 
 def _geom(groups: LowresGroups):
@@ -42,14 +40,30 @@ def _geom(groups: LowresGroups):
     return groups._geom  # type: ignore[attr-defined]
 
 
-def _slots(x2, gs: int):
-    """(Gc*gs, D) group-major block -> list of gs (Gc, D) slot slices
-    (2-D strided row slices — the Mosaic-supported access pattern)."""
-    return [x2[s::gs, :] for s in range(gs)]
+def _to_slot_major(x, geom):
+    """(B, H, S, D) raster -> (B, H, gs, G, D): one XLA relayout."""
+    b, h, s, d = x.shape
+    t, hh, w = geom.latent_shape
+    wt, wh, ww = geom.window
+    x9 = x.reshape(b, h, t // wt, wt, hh // wh, wh, w // ww, ww, d)
+    # slot dims (wt, wh, ww) leading, group dims (T2, H3, W2) raster
+    x9 = x9.transpose(0, 1, 3, 5, 7, 2, 4, 6, 8)
+    gs = wt * wh * ww
+    g = (t // wt) * (hh // wh) * (w // ww)
+    return x9.reshape(b, h, gs, g, d)
+
+
+def _from_slot_major(xg, geom):
+    b, h, gs, g, d = xg.shape
+    t, hh, w = geom.latent_shape
+    wt, wh, ww = geom.window
+    x9 = xg.reshape(b, h, wt, wh, ww, t // wt, hh // wh, w // ww, d)
+    x9 = x9.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8)
+    return x9.reshape(b, h, t * hh * w, d)
 
 
 def _matching_2d(slots32, gs: int, u: int, cs: int):
-    """Per-group kept-margin picks from 2-D slot slices.
+    """Per-group kept-margin picks from per-slot (Gc, D) f32 slices.
 
     Returns u lists of gs (Gc, 1) f32 one-hot column masks.  Identical
     arithmetic to ops/coreset.py: cosine RANKING via (c.m)*rsqrt(||m||^2),
@@ -82,9 +96,9 @@ def _pool_kernel(
     qc_ref, qm_ref, kc_ref, km_ref, vc_ref, vm_ref,
     *, gs, gc, u, cs, kv_from_k: bool,
 ):
-    qs = _slots(q_ref[0, 0], gs)
-    ks = _slots(k_ref[0, 0], gs)
-    vs = _slots(v_ref[0, 0], gs)
+    qs = [q_ref[0, 0, s] for s in range(gs)]
+    ks = [k_ref[0, 0, s] for s in range(gs)]
+    vs = [v_ref[0, 0, s] for s in range(gs)]
 
     picks_q = _matching_2d([s.astype(jnp.float32) for s in qs], gs, u, cs)
     picks_kv = (
@@ -92,15 +106,13 @@ def _pool_kernel(
         if kv_from_k else picks_q
     )
 
-    d = q_ref.shape[-1]
-
     def emit(slots, picks, c_ref, m_ref):
         c_ref[0, 0] = slots[cs].astype(c_ref.dtype)
         for i, pick in enumerate(picks):
-            kept = jnp.zeros((gc, d), jnp.float32)
+            kept = jnp.zeros_like(slots[0], dtype=jnp.float32)
             for s in range(gs):
                 kept = kept + pick[s] * slots[s].astype(jnp.float32)
-            m_ref[0, 0, i::u, :] = kept.astype(m_ref.dtype)
+            m_ref[0, 0, i] = kept.astype(m_ref.dtype)
 
     emit(qs, picks_q, qc_ref, qm_ref)
     emit(ks, picks_kv, kc_ref, km_ref)
@@ -111,19 +123,19 @@ def _unpool_kernel(
     q_ref, c_ref, m_ref, out_ref,
     *, gs, gc, u, cs,
 ):
-    qs = _slots(q_ref[0, 0], gs)
+    qs = [q_ref[0, 0, s] for s in range(gs)]
     picks = _matching_2d([s.astype(jnp.float32) for s in qs], gs, u, cs)
 
     centers = c_ref[0, 0].astype(jnp.float32)  # (Gc, D)
-    kept = [m_ref[0, 0, i::u, :].astype(jnp.float32) for i in range(u)]
+    kept = [m_ref[0, 0, i].astype(jnp.float32) for i in range(u)]
     for s in range(gs):
         val = jnp.zeros_like(centers)
-        mask = jnp.zeros((gc, 1), jnp.float32)
+        mask = jnp.zeros((centers.shape[0], 1), jnp.float32)
         for i in range(u):
             val = val + picks[i][s] * kept[i]
             mask = mask + picks[i][s]
         val = val + (1.0 - mask) * centers
-        out_ref[0, 0, s::gs, :] = val.astype(out_ref.dtype)
+        out_ref[0, 0, s] = val.astype(out_ref.dtype)
 
 
 def _shapes(x, groups: LowresGroups):
@@ -137,17 +149,13 @@ def _shapes(x, groups: LowresGroups):
 
 
 def _cell_split(g: int, gs: int, d: int, itemsize: int) -> int:
-    """Groups per grid cell: bound the 3-tensor VMEM block near ~8 MB.
-    All output block row counts (gc, gc*u, gc*gs) must be 8-aligned, so gc
-    is the largest divisor of g that is a multiple of 8 (falling back to
-    the full g when none exists — tiny test geometries)."""
+    """Groups per grid cell, bounding the 3-tensor VMEM block near ~8 MB;
+    8-aligned so the (Gc, D) tiles stay clean (full g as fallback)."""
     budget = max(8, 8 * 2**20 // (3 * gs * d * max(itemsize, 2)))
-    best = g
     for gc in range(min(g, budget), 7, -1):
         if g % gc == 0 and gc % 8 == 0:
-            best = gc
-            break
-    return best
+            return gc
+    return g
 
 
 def pool_qkv(
@@ -159,7 +167,7 @@ def pool_qkv(
     Pooled layout matches ops/coreset.py: [all G centers | all G*U kept
     margins], group-major, margins least-similar-first.
     """
-    geom, (t, hh, w), (wt, wh, ww), (b, h, d) = _shapes(q, groups)
+    geom, _, _, (b, h, d) = _shapes(q, groups)
     u = groups.num_kept_margins
     g = groups.num_groups
     gs = groups.group_size
@@ -172,27 +180,30 @@ def pool_qkv(
     )
 
     def in_map(bb, hh_, i):
+        return (bb, hh_, 0, i, 0)
+
+    def c_map(bb, hh_, i):
         return (bb, hh_, i, 0)
 
-    qg = tile_sequence(q, geom.latent_shape, geom.window)
-    kg = tile_sequence(k, geom.latent_shape, geom.window)
-    vg = tile_sequence(v, geom.latent_shape, geom.window)
+    qg = _to_slot_major(q, geom)
+    kg = _to_slot_major(k, geom)
+    vg = _to_slot_major(v, geom)
 
     out_shapes, out_specs = [], []
     for _ in range(3):
         out_shapes += [
             jax.ShapeDtypeStruct((b, h, g, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, g * u, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, u, g, d), q.dtype),  # slot-major kept
         ]
         out_specs += [
-            pl.BlockSpec((1, 1, gc, d), in_map),
-            pl.BlockSpec((1, 1, gc * u, d), in_map),
+            pl.BlockSpec((1, 1, gc, d), c_map),
+            pl.BlockSpec((1, 1, u, gc, d), in_map),
         ]
 
     outs = pl.pallas_call(
         kernel,
         grid=(b, h, n_cells),
-        in_specs=[pl.BlockSpec((1, 1, gc * gs, d), in_map)] * 3,
+        in_specs=[pl.BlockSpec((1, 1, gs, gc, d), in_map)] * 3,
         out_specs=out_specs,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
@@ -201,11 +212,14 @@ def pool_qkv(
         ),
         interpret=interpret,
     )(qg, kg, vg)
+
+    def finish(c, m):
+        # (B,H,U,G,D) slot-major kept -> group-major (B,H,G*U,D)
+        mm = m.transpose(0, 1, 3, 2, 4).reshape(b, h, g * u, d)
+        return jnp.concatenate([c, mm], axis=2)
+
     qc, qm, kc, km, vc, vm = outs
-    pq = jnp.concatenate([qc, qm], axis=2)
-    pk = jnp.concatenate([kc, km], axis=2)
-    pv = jnp.concatenate([vc, vm], axis=2)
-    return pq, pk, pv
+    return finish(qc, qm), finish(kc, km), finish(vc, vm)
 
 
 def unpool(
@@ -214,7 +228,7 @@ def unpool(
 ) -> jax.Array:
     """Scatter a pooled (B,H,P,D) attention output back to (B,H,S,D),
     re-deriving Q's matching in-kernel (bitwise-identical arithmetic)."""
-    geom, (t, hh, w), (wt, wh, ww), (b, h, d) = _shapes(q, groups)
+    geom, _, _, (b, h, d) = _shapes(q, groups)
     u = groups.num_kept_margins
     g = groups.num_groups
     gs = groups.group_size
@@ -224,26 +238,33 @@ def unpool(
 
     kernel = functools.partial(_unpool_kernel, gs=gs, gc=gc, u=u, cs=cs)
     centers = pooled_out[:, :, :g]
-    kept = pooled_out[:, :, g:]
-    qg = tile_sequence(q, geom.latent_shape, geom.window)
+    kept = (
+        pooled_out[:, :, g:]
+        .reshape(b, h, g, u, d)
+        .transpose(0, 1, 3, 2, 4)  # slot-major kept for plain leading index
+    )
+    qg = _to_slot_major(q, geom)
 
     def in_map(bb, hh_, i):
+        return (bb, hh_, 0, i, 0)
+
+    def c_map(bb, hh_, i):
         return (bb, hh_, i, 0)
 
-    out_g = pl.pallas_call(
+    out_sm = pl.pallas_call(
         kernel,
         grid=(b, h, n_cells),
         in_specs=[
-            pl.BlockSpec((1, 1, gc * gs, d), in_map),
-            pl.BlockSpec((1, 1, gc, d), in_map),
-            pl.BlockSpec((1, 1, gc * u, d), in_map),
+            pl.BlockSpec((1, 1, gs, gc, d), in_map),
+            pl.BlockSpec((1, 1, gc, d), c_map),
+            pl.BlockSpec((1, 1, u, gc, d), in_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, gc * gs, d), in_map),
-        out_shape=jax.ShapeDtypeStruct((b, h, g * gs, d), pooled_out.dtype),
+        out_specs=pl.BlockSpec((1, 1, gs, gc, d), in_map),
+        out_shape=jax.ShapeDtypeStruct((b, h, gs, g, d), pooled_out.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(qg, centers, kept)
-    return untile_sequence(out_g, geom.latent_shape, geom.window)
+    return _from_slot_major(out_sm, geom)
