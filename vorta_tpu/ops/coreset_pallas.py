@@ -62,33 +62,30 @@ def _from_slot_major(xg, geom):
     return x9.reshape(b, h, t * hh * w, d)
 
 
-def _matching_2d(slots32, gs: int, u: int, cs: int):
-    """Per-group kept-margin picks from per-slot (Gc, D) f32 slices.
+def _matching_3d(x_all32, gs: int, u: int, cs: int):
+    """Per-group kept-margin picks from a (gs, Gc, D) f32 slot-major block.
 
-    Returns u lists of gs (Gc, 1) f32 one-hot column masks.  Identical
-    arithmetic to ops/coreset.py: cosine RANKING via (c.m)*rsqrt(||m||^2),
-    center excluded with a +inf sentinel, u iterative arg-min passes with
-    ties to the lower slot index.
+    Returns a (u, gs, Gc, 1) f32 one-hot pick tensor.  Identical arithmetic
+    to ops/coreset.py: cosine RANKING via (c.m)*rsqrt(||m||^2), center
+    excluded with a +inf sentinel, u iterative arg-min passes with ties to
+    the lower slot index.  All reductions run over the leading slot axis or
+    the lane axis — no strided/sublane-split accesses (Mosaic constraint).
     """
-    c = slots32[cs]  # (Gc, D)
-    sims = []
-    for s in range(gs):
-        x = slots32[s]
-        dot = jnp.sum(x * c, axis=-1, keepdims=True)
-        sq = jnp.sum(x * x, axis=-1, keepdims=True)
-        sims.append(dot * jax.lax.rsqrt(jnp.maximum(sq, 1e-24)))
-    sim = jnp.concatenate(sims, axis=1)  # (Gc, gs)
+    c = x_all32[cs]  # (Gc, D)
+    dot = jnp.sum(x_all32 * c[None], axis=-1, keepdims=True)  # (gs, Gc, 1)
+    sq = jnp.sum(x_all32 * x_all32, axis=-1, keepdims=True)
+    sim = dot * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))  # (gs, Gc, 1)
     inf = jnp.float32(jnp.inf)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
     sim = jnp.where(slot_iota == cs, inf, sim)
     picks = []
     for _ in range(u):
-        m = jnp.min(sim, axis=-1, keepdims=True)
-        idx = jnp.min(jnp.where(sim <= m, slot_iota, gs), axis=-1, keepdims=True)
-        pick = slot_iota == idx  # (Gc, gs) bool
-        picks.append([pick[:, s : s + 1].astype(jnp.float32) for s in range(gs)])
+        m = jnp.min(sim, axis=0, keepdims=True)
+        idx = jnp.min(jnp.where(sim <= m, slot_iota, gs), axis=0, keepdims=True)
+        pick = slot_iota == idx  # (gs, Gc, 1) bool
+        picks.append(pick.astype(jnp.float32))
         sim = jnp.where(pick, inf, sim)
-    return picks
+    return jnp.stack(picks, axis=0)  # (u, gs, Gc, 1)
 
 
 def _pool_kernel(
@@ -96,46 +93,40 @@ def _pool_kernel(
     qc_ref, qm_ref, kc_ref, km_ref, vc_ref, vm_ref,
     *, gs, gc, u, cs, kv_from_k: bool,
 ):
-    qs = [q_ref[0, 0, s] for s in range(gs)]
-    ks = [k_ref[0, 0, s] for s in range(gs)]
-    vs = [v_ref[0, 0, s] for s in range(gs)]
+    q_all = q_ref[0, 0].astype(jnp.float32)  # (gs, Gc, D)
+    k_all = k_ref[0, 0].astype(jnp.float32)
+    v_all = v_ref[0, 0].astype(jnp.float32)
 
-    picks_q = _matching_2d([s.astype(jnp.float32) for s in qs], gs, u, cs)
-    picks_kv = (
-        _matching_2d([s.astype(jnp.float32) for s in ks], gs, u, cs)
-        if kv_from_k else picks_q
-    )
+    picks_q = _matching_3d(q_all, gs, u, cs)
+    picks_kv = _matching_3d(k_all, gs, u, cs) if kv_from_k else picks_q
 
-    def emit(slots, picks, c_ref, m_ref):
-        c_ref[0, 0] = slots[cs].astype(c_ref.dtype)
-        for i, pick in enumerate(picks):
-            kept = jnp.zeros_like(slots[0], dtype=jnp.float32)
-            for s in range(gs):
-                kept = kept + pick[s] * slots[s].astype(jnp.float32)
+    def emit(x_all, picks, c_ref, m_ref):
+        c_ref[0, 0] = x_all[cs].astype(c_ref.dtype)
+        for i in range(u):
+            kept = jnp.sum(picks[i] * x_all, axis=0)  # (Gc, D)
             m_ref[0, 0, i] = kept.astype(m_ref.dtype)
 
-    emit(qs, picks_q, qc_ref, qm_ref)
-    emit(ks, picks_kv, kc_ref, km_ref)
-    emit(vs, picks_kv, vc_ref, vm_ref)
+    emit(q_all, picks_q, qc_ref, qm_ref)
+    emit(k_all, picks_kv, kc_ref, km_ref)
+    emit(v_all, picks_kv, vc_ref, vm_ref)
 
 
 def _unpool_kernel(
     q_ref, c_ref, m_ref, out_ref,
     *, gs, gc, u, cs,
 ):
-    qs = [q_ref[0, 0, s] for s in range(gs)]
-    picks = _matching_2d([s.astype(jnp.float32) for s in qs], gs, u, cs)
+    q_all = q_ref[0, 0].astype(jnp.float32)
+    picks = _matching_3d(q_all, gs, u, cs)  # (u, gs, Gc, 1)
 
     centers = c_ref[0, 0].astype(jnp.float32)  # (Gc, D)
-    kept = [m_ref[0, 0, i].astype(jnp.float32) for i in range(u)]
-    for s in range(gs):
-        val = jnp.zeros_like(centers)
-        mask = jnp.zeros((centers.shape[0], 1), jnp.float32)
-        for i in range(u):
-            val = val + picks[i][s] * kept[i]
-            mask = mask + picks[i][s]
-        val = val + (1.0 - mask) * centers
-        out_ref[0, 0, s] = val.astype(out_ref.dtype)
+    kept = m_ref[0, 0].astype(jnp.float32)  # (u, Gc, D)
+    val = jnp.zeros((gs,) + centers.shape, jnp.float32)
+    mask = jnp.zeros((gs, centers.shape[0], 1), jnp.float32)
+    for i in range(u):
+        val = val + picks[i] * kept[i][None]
+        mask = mask + picks[i]
+    val = val + (1.0 - mask) * centers[None]
+    out_ref[0, 0] = val.astype(out_ref.dtype)
 
 
 def _shapes(x, groups: LowresGroups):
