@@ -1,0 +1,144 @@
+"""Full-depth HunyuanVideo-13B routed-vs-full denoise benchmark on ONE v5e.
+
+Same int4 quantized-block-streaming mechanism as tools/bench_wan14b.py
+(ops/quant + quantized_blocks=), applied to both MMDiT stacks (20 dual +
+40 single blocks) at the reference benchmark geometry 117f x 720x1280
+(joint sequence 108,000 video + 256 text tokens).  Replaces the round-2
+depth-reduced extrapolation (tools/bench_hunyuan.py) with a true
+full-depth measurement.  Routers random-init with biases set to the
+trained-mix emulation (39% lowres / 61% STA per head).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--routing", default="both", choices=["both", "off", "hard"])
+    ap.add_argument("--frames", type=int, default=117)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=1280)
+    args = ap.parse_args()
+
+    import dataclasses
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from flax import nnx
+
+    from vorta_tpu.config import AttentionConfig
+    from vorta_tpu.models.hunyuan import HUNYUAN_13B, HunyuanModel
+    from vorta_tpu.ops.quant import quantize_stacked_tree, quantized_bytes
+
+    cfg = HUNYUAN_13B
+    t_lat = (args.frames - 1) // 4 + 1
+    grid = (t_lat, args.height // 16, args.width // 16)
+    attn = AttentionConfig(
+        latent_shape=grid, sta_window=(3, 3, 3), sta_tile=(6, 9, 8),
+        lowres_window=(2, 3, 2), block_q=1024, block_kv=1024, tau_sparse=0.3,
+    )
+
+    cfg1 = dataclasses.replace(cfg, dual_layers=1, single_layers=1)
+    model = HunyuanModel(cfg1, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                         rngs=nnx.Rngs(0))
+
+    abs_model = nnx.eval_shape(
+        lambda: HunyuanModel(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                             rngs=nnx.Rngs(0))
+    )
+
+    rng = np.random.default_rng(0)
+    n_heads, n_exp = cfg.num_heads, 3
+    n_lowres = round(0.39 * n_heads)
+
+    def init_leaf(path, leaf):
+        shape, dtype = leaf.shape, leaf.dtype
+        name = "/".join(str(p) for p in path)
+        arr = rng.standard_normal(shape).astype(np.float32) * 0.02
+        if "router" in name and "bias" in name:
+            bias = np.zeros(shape[-1], np.float32)
+            for h in range(n_heads):
+                e = 1 if h < n_lowres else 2
+                bias[h * n_exp + e] = 8.0
+            arr = np.broadcast_to(bias, shape).copy()
+        return arr.astype(ml_dtypes.bfloat16) if dtype == jnp.bfloat16 else \
+            arr.astype(np.dtype(dtype))
+
+    qtrees = []
+    t0 = time.time()
+    for mod in (abs_model.dual_blocks, abs_model.single_blocks):
+        _, abs_blocks = nnx.split(mod)
+        host = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
+        qt = quantize_stacked_tree(host, bits=args.bits)
+        del host
+        qtrees.append(jax.tree.map(jnp.asarray, qt))
+    print(f"[13b] init+quantize {time.time() - t0:.0f}s -> "
+          f"{sum(quantized_bytes(q) for q in qtrees) / 2**30:.2f} GiB", flush=True)
+    jax.block_until_ready(jax.tree.leaves(qtrees))
+
+    b = 1
+    latents = jax.random.normal(
+        jax.random.PRNGKey(0),
+        (b, t_lat, args.height // 8, args.width // 8, cfg.in_channels),
+        jnp.bfloat16)
+    text = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+    mask = jnp.ones((b, cfg.text_len), bool)
+    pooled = jax.random.normal(
+        jax.random.PRNGKey(2), (b, cfg.pooled_dim), jnp.bfloat16)
+    guidance = jnp.full((b,), 6000.0)
+
+    graphdef, state = nnx.split(model)
+    qpair = tuple(qtrees)
+
+    results = {}
+    for mode in ("off", "hard"):
+        if args.routing not in ("both", mode):
+            continue
+
+        @jax.jit
+        def run(state, qpair, latents, text, mask, pooled):
+            def body(c, i):
+                m = nnx.merge(graphdef, state)
+                lat = latents * (1 + 0.001 * i.astype(jnp.bfloat16))
+                out = m(lat, jnp.full((b,), 500.0), text, mask, pooled,
+                        guidance=guidance, attn_cfg=attn, routing_mode=mode,
+                        quantized_blocks=qpair)
+                return c + out.sample.astype(jnp.float32).mean(), ()
+
+            cf, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                 jnp.arange(args.iters))
+            return cf
+
+        t0 = time.time()
+        float(run(state, qpair, latents, text, mask, pooled))
+        print(f"[13b] {mode}: compile+first {time.time() - t0:.0f}s", flush=True)
+        t0 = time.time()
+        float(run(state, qpair, latents, text, mask, pooled))
+        dt = (time.time() - t0) / args.iters
+        results[mode] = dt
+        print(f"[13b] {mode}: {dt * 1e3:.0f} ms/fwd", flush=True)
+
+    if len(results) == 2:
+        print(json.dumps({
+            "model": "hunyuan-13B", "geometry": f"{args.frames}f@{args.height}p",
+            "bits": args.bits,
+            "full_ms": round(results["off"] * 1e3, 1),
+            "routed_ms": round(results["hard"] * 1e3, 1),
+            "speedup": round(results["off"] / results["hard"], 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Non-attention floor decomposition at Wan-1.3B 720p geometry.
+
+The routed e2e block time is ~attention + ~57 ms of non-attention work
+(projections, FFN, norms, AdaLN, cross-attn, residuals).  This times each
+piece in isolation (scan-inside-jit, perturbed inputs) to find where the
+floor actually goes, plus one real WanBlock forward for the total.
+
+Usage: python tools/profile_floor.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from vorta_tpu.config import WAN_1_3B, AttentionConfig
+
+
+def device_seconds(fn, *args, iters: int = 4) -> float:
+    @jax.jit
+    def run(*args):
+        def body(c, i):
+            return fn(c, i, *args), ()
+
+        cf, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(iters))
+        return cf
+
+    float(run(*args))
+    t0 = time.perf_counter()
+    float(run(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    cfg = WAN_1_3B
+    attn = AttentionConfig(
+        latent_shape=(20, 45, 80), sta_window=(3, 3, 3), sta_tile=(5, 9, 8),
+        lowres_window=(2, 3, 2), block_q=1024, block_kv=1024, tau_sparse=0.3,
+    )
+    b, s, d = 1, attn.seq_len, cfg.dim
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, d), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, cfg.text_len, d), jnp.bfloat16)
+    w1 = jax.random.normal(jax.random.PRNGKey(2), (d, cfg.ffn_dim), jnp.bfloat16) * 0.02
+    w2 = jax.random.normal(jax.random.PRNGKey(3), (cfg.ffn_dim, d), jnp.bfloat16) * 0.02
+    wq = jax.random.normal(jax.random.PRNGKey(4), (d, d), jnp.bfloat16) * 0.02
+    temb6 = jax.random.normal(jax.random.PRNGKey(5), (b, 6, d), jnp.float32)
+
+    def perturb(t, i):
+        return t * (1 + 0.001 * i.astype(t.dtype))
+
+    def timed(name, fn, *args):
+        sec = device_seconds(fn, *args)
+        print(f"{name:24s} {sec * 1e3:8.2f} ms", flush=True)
+        return sec
+
+    timed("ffn", lambda c, i, x: c + (
+        jax.nn.gelu(perturb(x, i) @ w1, approximate=True) @ w2
+    ).astype(jnp.float32).mean(), x)
+
+    def qkv_out(c, i, x):
+        h = perturb(x, i)
+        q = h @ wq
+        k = h @ wq
+        v = h @ wq
+        return c + ((q + k + v) @ wq).astype(jnp.float32).mean()
+
+    timed("qkv_plus_out_proj", qkv_out, x)
+
+    def norms_adaln(c, i, x):
+        h = perturb(x, i).astype(jnp.float32)
+        mu = h.mean(-1, keepdims=True)
+        var = h.var(-1, keepdims=True)
+        n = (h - mu) * jax.lax.rsqrt(var + 1e-6)
+        mod = n * (1 + temb6[:, 1, None]) + temb6[:, 0, None]
+        return c + mod.astype(jnp.bfloat16).astype(jnp.float32).mean()
+
+    timed("one_fp32_layernorm_mod", norms_adaln, x)
+
+    def residual(c, i, x):
+        return c + (perturb(x, i) + x).astype(jnp.float32).mean()
+
+    timed("one_residual_add", residual, x)
+
+    # real block (hard routing, trained-mix head split emulated 5L/7S)
+    from vorta_tpu.models.wan import WanBlock
+    from vorta_tpu.ops.rope import rope_cos_sin
+
+    block = WanBlock(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+                     rngs=nnx.Rngs(0))
+    # trained-mix emulation via router bias: heads 0-4 lowres, 5-11 STA
+    bias = np.zeros(cfg.num_heads * 3, np.float32)
+    for h in range(cfg.num_heads):
+        bias[h * 3 + (1 if h < 5 else 2)] = 8.0
+    block.router.linear.bias[...] = jnp.asarray(bias)
+    cos, sin = rope_cos_sin(attn.latent_shape, cfg.head_dim, cfg.rope_theta)
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+    temb = jax.random.normal(jax.random.PRNGKey(6), (b, d), jnp.float32)
+
+    graphdef, bstate = nnx.split(block)
+
+    def block_fwd(c, i, bstate, x, ctx):
+        blk = nnx.merge(graphdef, bstate)
+        out, _ = blk(perturb(x, i), ctx, temb6, temb, rope, attn, "hard")
+        return c + out.astype(jnp.float32).mean()
+
+    timed("block_hard_5L7S", block_fwd, bstate, x, ctx)
+
+    def block_off(c, i, bstate, x, ctx):
+        blk = nnx.merge(graphdef, bstate)
+        out, _ = blk(perturb(x, i), ctx, temb6, temb, rope, attn, "off")
+        return c + out.astype(jnp.float32).mean()
+
+    timed("block_full_attn", block_off, bstate, x, ctx)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,7 +75,7 @@ def main():
         graphdef, rstate, fstate = router_partition(model)
         bench_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ckpt = os.path.join(bench_dir, "assets", "bench_router_wan1_3b.npz")
-        if os.path.exists(ckpt):
+        if os.path.exists(ckpt) and not args.layers:
             sys.path.insert(0, bench_dir)
             from bench import load_router_npz
 

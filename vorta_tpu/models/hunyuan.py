@@ -60,12 +60,29 @@ class HunyuanModelConfig:
     refiner_layers: int = 2
     freq_dim: int = 256
     eps: float = 1e-6
+    # I2V token-replace variant: first-frame tokens carry the clean image and
+    # get t=0 AdaLN conditioning (reference: modeling_hunyuan.py:633-641 and
+    # the token_replace_emb threading through every block, :264-341)
+    image_condition_type: Optional[str] = None  # None | "token_replace"
 
     def __post_init__(self):
         if self.dim != self.num_heads * self.head_dim:
             raise ValueError("dim != num_heads * head_dim")
         if sum(self.rope_axes) != self.head_dim:
             raise ValueError("rope axes must sum to head_dim")
+
+
+def _first_frame_mask(x, first_frame_tokens: int, sp_axis):
+    """(1, local_S, 1) bool: which local video tokens belong to the first
+    latent frame.  SP-safe: ranks hold contiguous frame chunks, so the
+    global position is rank * local_len + i (the reference computes this
+    only for the unsharded case — its SP + token-replace combination would
+    mis-condition ranks > 0)."""
+    s_local = x.shape[1]
+    pos = jnp.arange(s_local)
+    if sp_axis is not None:
+        pos = pos + jax.lax.axis_index(sp_axis) * s_local
+    return (pos < first_frame_tokens)[None, :, None]
 
 
 HUNYUAN_13B = HunyuanModelConfig()
@@ -265,26 +282,54 @@ class HunyuanDualBlock(nnx.Module):
         self.router = Router(dim, cfg.num_heads, rngs=rngs)
 
     def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
-                 routing_mode, interpret, sp_axis=None):
+                 routing_mode, interpret, sp_axis=None,
+                 token_replace_emb=None, first_frame_tokens=0):
         sh, sc, gate, sh_mlp, sc_mlp, gate_mlp = self.norm1_mod(temb)
         csh, csc, cgate, csh_mlp, csc_mlp, cgate_mlp = self.norm1_context_mod(temb)
+        tr_mask = _first_frame_mask(x, first_frame_tokens, sp_axis) \
+            if token_replace_emb is not None else None
+        if tr_mask is not None:
+            # per-token AdaLN: first-frame tokens conditioned by the t=0
+            # embedding (same modulation projection — the reference
+            # token-replace block reuses norm1.linear on tr_emb)
+            t_sh, t_sc, t_gate, t_sh_mlp, t_sc_mlp, t_gate_mlp = \
+                self.norm1_mod(token_replace_emb)
+
+        def mod_video(norm, h, sc_, sh_, tsc, tsh):
+            base = norm.modulated(h, sc_, sh_)
+            if tr_mask is None:
+                return base
+            alt = norm.modulated(h, tsc, tsh)
+            return jnp.where(tr_mask, alt, base)
+
+        def gate_video(g, tg):
+            gg = g[:, None]
+            if tr_mask is None:
+                return gg
+            return jnp.where(tr_mask, tg[:, None], gg)
 
         scores = None
         if routing_mode not in ("off", "off_ref"):
             scores = self.router(clean_temb)
 
-        norm_x = self.norm1.modulated(x, sc, sh)
+        norm_x = mod_video(self.norm1, x, sc, sh,
+                           t_sc if tr_mask is not None else None,
+                           t_sh if tr_mask is not None else None)
         norm_c = self.norm1_context.modulated(ctx, csc, csh)
         attn_x, attn_c = self.attn(
             norm_x, norm_c, rope, text_mask, jcfg, scores, routing_mode,
             interpret, sp_axis,
         )
-        x = (x.astype(jnp.float32) + attn_x.astype(jnp.float32) * gate[:, None]).astype(x.dtype)
+        g_v = gate_video(gate, t_gate if tr_mask is not None else None)
+        x = (x.astype(jnp.float32) + attn_x.astype(jnp.float32) * g_v).astype(x.dtype)
         ctx = (ctx.astype(jnp.float32) + attn_c.astype(jnp.float32) * cgate[:, None]).astype(ctx.dtype)
 
-        norm_x = self.norm2.modulated(x, sc_mlp, sh_mlp)
+        norm_x = mod_video(self.norm2, x, sc_mlp, sh_mlp,
+                           t_sc_mlp if tr_mask is not None else None,
+                           t_sh_mlp if tr_mask is not None else None)
         norm_c = self.norm2_context.modulated(ctx, csc_mlp, csh_mlp)
-        x = (x.astype(jnp.float32) + self.ff(norm_x).astype(jnp.float32) * gate_mlp[:, None]).astype(x.dtype)
+        g_mlp = gate_video(gate_mlp, t_gate_mlp if tr_mask is not None else None)
+        x = (x.astype(jnp.float32) + self.ff(norm_x).astype(jnp.float32) * g_mlp).astype(x.dtype)
         ctx = (ctx.astype(jnp.float32) + self.ff_context(norm_c).astype(jnp.float32) * cgate_mlp[:, None]).astype(ctx.dtype)
         return x, ctx, scores
 
@@ -302,12 +347,23 @@ class HunyuanSingleBlock(nnx.Module):
         self.router = Router(dim, cfg.num_heads, rngs=rngs)
 
     def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
-                 routing_mode, interpret, sp_axis=None):
+                 routing_mode, interpret, sp_axis=None,
+                 token_replace_emb=None, first_frame_tokens=0):
         text_len = ctx.shape[1]
         joint = jnp.concatenate([x, ctx], axis=1)
         residual = joint
         sh, sc, gate = self.norm_mod(temb)
+        tr_mask = None
+        if token_replace_emb is not None:
+            t_sh, t_sc, t_gate = self.norm_mod(token_replace_emb)
+            m = _first_frame_mask(x, first_frame_tokens, sp_axis)
+            tr_mask = jnp.concatenate(
+                [m, jnp.zeros((1, text_len, 1), bool)], axis=1
+            )  # text tokens always use temb
         norm_j = self.norm.modulated(joint, sc, sh)
+        if tr_mask is not None:
+            norm_j = jnp.where(tr_mask, self.norm.modulated(joint, t_sc, t_sh),
+                               norm_j)
         mlp = jax.nn.gelu(self.proj_mlp(norm_j), approximate=True)
 
         scores = None
@@ -318,7 +374,10 @@ class HunyuanSingleBlock(nnx.Module):
             interpret, sp_axis,
         )
         joint_out = self.proj_out(jnp.concatenate([attn_out, mlp], axis=2))
-        joint = (residual.astype(jnp.float32) + joint_out.astype(jnp.float32) * gate[:, None]).astype(joint.dtype)
+        g = gate[:, None]
+        if tr_mask is not None:
+            g = jnp.where(tr_mask, t_gate[:, None], g)
+        joint = (residual.astype(jnp.float32) + joint_out.astype(jnp.float32) * g).astype(joint.dtype)
         return joint[:, :-text_len], joint[:, -text_len:], scores
 
 
@@ -396,15 +455,23 @@ class HunyuanCombinedEmbed(nnx.Module):
         self.text_embedder_1 = nnx.Linear(cfg.pooled_dim, cfg.dim, **kw)
         self.text_embedder_2 = nnx.Linear(cfg.dim, cfg.dim, **kw)
 
-    def __call__(self, timestep, pooled_text, guidance=None):
+    def __call__(self, timestep, pooled_text, guidance=None,
+                 token_replace: bool = False):
         t_emb = self.timestep_embedder(sinusoidal_timestep_embedding(timestep, self.freq_dim))
         pooled = self.text_embedder_2(jax.nn.silu(self.text_embedder_1(pooled_text)))
         temb = t_emb + pooled
+        tr_emb = None
+        if token_replace:
+            # first-frame conditioning at t=0, pooled text added, NO guidance
+            # (reference: modeling_hunyuan.py:633-641)
+            tr_emb = self.timestep_embedder(
+                sinusoidal_timestep_embedding(jnp.zeros_like(timestep), self.freq_dim)
+            ) + pooled
         if self.guidance_embedder is not None and guidance is not None:
             temb = temb + self.guidance_embedder(
                 sinusoidal_timestep_embedding(guidance, self.freq_dim)
             )
-        return temb, t_emb
+        return temb, t_emb, tr_emb
 
 
 class HunyuanModel(nnx.Module):
@@ -479,7 +546,11 @@ class HunyuanModel(nnx.Module):
         jcfg = JointConfig(video=attn_cfg, text_len=cfg.text_len)
 
         x = self.x_embedder(latents.astype(self.dtype)).reshape(b, -1, cfg.dim)
-        temb, clean_temb = self.time_text_embed(timestep, pooled_text.astype(self.dtype), guidance)
+        temb, clean_temb, tr_emb = self.time_text_embed(
+            timestep, pooled_text.astype(self.dtype), guidance,
+            token_replace=cfg.image_condition_type == "token_replace",
+        )
+        first_frame_tokens = (h_px // ph) * (w_px // pw)
         ctx = self.context_embedder(text_states.astype(self.dtype), timestep, text_mask)
         rope = hunyuan_rope_tables(grid, cfg)
         if sp_axis is not None:
@@ -526,6 +597,8 @@ class HunyuanModel(nnx.Module):
                 x, ctx, scores = block(
                     x, ctx, temb, clean_temb, rope, text_mask, jcfg,
                     routing_mode, interpret, sp_axis,
+                    token_replace_emb=tr_emb,
+                    first_frame_tokens=first_frame_tokens,
                 )
                 if teacher:
                     # the frozen teacher runs under grad tracing, so it must
@@ -533,6 +606,8 @@ class HunyuanModel(nnx.Module):
                     xt_n, ct_n, _ = block(
                         xt, ct, temb, clean_temb, rope, text_mask, jcfg,
                         "off_ref", interpret, sp_axis,
+                        token_replace_emb=tr_emb,
+                        first_frame_tokens=first_frame_tokens,
                     )
                     xt = jax.lax.stop_gradient(xt_n)
                     ct = jax.lax.stop_gradient(ct_n)
