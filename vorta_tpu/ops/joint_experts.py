@@ -284,6 +284,7 @@ def joint_sta_attention(
         pair_bits=jnp.asarray(bits), tokens_per_tile=cfg.tokens_per_tile,
         kv_bias=bias, scale=scale,
         block_q=layout.block_q, block_kv=layout.block_kv, interpret=interpret,
+        softmax="fast",
     )
     out = jnp.take(out, inv_perm, axis=1)
     tiled_out, text_out = _split(out, layout, cfg.seq_len, jcfg.text_len)

@@ -333,6 +333,7 @@ def fused_routed_attention(
             block_q=call.block_q,
             block_kv=call.block_kv,
             interpret=interpret,
+            softmax="fast",
         )[:, :, :s]
         out_t = jnp.take(out_t, inv_perm, axis=1)
         return untile_sequence(out_t, shape, tile)

@@ -36,6 +36,7 @@ def _kernel(
     block_kv: int,
     num_heads: int,
     cast_p_to_v_dtype: bool,
+    softmax: str = "stable",
 ):
     it = iter(refs)
     kv_index_ref = next(it)
@@ -122,7 +123,8 @@ def _kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (H, bq, bkv)
-        s = s * (scale * LOG2E)
+        if softmax != "fast":  # fast mode: q arrives pre-scaled (host side)
+            s = s * (scale * LOG2E)
 
         if has_bias:
             blk = kv_index_ref[0, i, j]
@@ -136,6 +138,20 @@ def _kernel(
             ) & jnp.uint32(1)
             s = jnp.where(visible[None] == 1, s, NEG_INF)
 
+        if softmax == "fast":
+            # no running max: q pre-scaled, unnormalized exp2 (output
+            # invariant to p's constant scale; see ops/sta_pipe.py for the
+            # f32 range argument); masked entries underflow to exactly 0
+            p = jnp.exp2(s)
+            l_s[...] += jnp.sum(p, axis=-1, keepdims=True)
+            if cast_p_to_v_dtype and v.dtype != jnp.float32:
+                p = p.astype(v.dtype)
+            acc_s[...] += jax.lax.dot_general(
+                p, v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
         m_prev = m_s[...]
         l_prev = l_s[...]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -182,6 +198,7 @@ def sta_flash_headbatched(
     block_kv: int = 384,
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
+    softmax: str = "stable",
 ) -> jax.Array:
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -227,7 +244,10 @@ def sta_flash_headbatched(
         block_kv=block_kv,
         num_heads=hg,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
+        softmax=softmax,
     )
+    if softmax == "fast":
+        q = q * jnp.asarray(scale * LOG2E, q.dtype)
 
     prefetch = [kv_index, kv_count, active.astype(jnp.int32)]
     if subtile is not None:
