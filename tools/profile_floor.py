@@ -59,6 +59,10 @@ def main():
         print(f"{name:24s} {sec * 1e3:8.2f} ms", flush=True)
         return sec
 
+    # harness floor: perturb + upcast-mean alone (subtract from the rest)
+    timed("harness_baseline", lambda c, i, x: c + perturb(x, i)
+          .astype(jnp.float32).mean(), x)
+
     timed("ffn", lambda c, i, x: c + (
         jax.nn.gelu(perturb(x, i) @ w1, approximate=True) @ w2
     ).astype(jnp.float32).mean(), x)
