@@ -315,20 +315,49 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     micro_per_step = args.gradient_accumulation_steps
     t_start = time.time()
-    for step in range(init_step, args.max_train_steps):
-        for _ in range(micro_per_step):
-            batch_arrays = next(data_iter)
-            key, sub = jax.random.split(key)
-            router_state, opt_state, metrics = step_fn(
-                router_state, frozen_state, opt_state,
-                *[jnp.asarray(a) for a in batch_arrays], sub,
-            )
-        if (step + 1) % args.report_interval == 0:
-            line = logger.log(step + 1, jax.tree.map(float, metrics))
-            print(f"[train] {line} ({(time.time()-t_start)/(step-init_step+1):.2f}s/step)")
-        if (step + 1) % args.checkpointing_steps == 0 or step + 1 == args.max_train_steps:
-            path = save_router_checkpoint(out_dir / "ckpt", step + 1, router_state, opt_state)
-            print(f"[train] checkpoint -> {path}")
+
+    # Preemption-safe recovery: SIGTERM/SIGINT request a checkpoint at the
+    # next step boundary instead of dying mid-optimizer-step, so `--resume
+    # latest` always finds consistent state.  (The reference's only recovery
+    # is restart + resume from the last periodic checkpoint — misc.py:52-65;
+    # torchrun offers no save-on-preempt either.)
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        print(f"[train] signal {signum}: checkpoint + exit at step boundary",
+              flush=True)
+
+    prev_handlers = {
+        s: signal.signal(s, _request_stop)
+        for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
+    step = init_step
+    try:
+        for step in range(init_step, args.max_train_steps):
+            for _ in range(micro_per_step):
+                batch_arrays = next(data_iter)
+                key, sub = jax.random.split(key)
+                router_state, opt_state, metrics = step_fn(
+                    router_state, frozen_state, opt_state,
+                    *[jnp.asarray(a) for a in batch_arrays], sub,
+                )
+            if (step + 1) % args.report_interval == 0:
+                line = logger.log(step + 1, jax.tree.map(float, metrics))
+                print(f"[train] {line} ({(time.time()-t_start)/(step-init_step+1):.2f}s/step)")
+            if (step + 1) % args.checkpointing_steps == 0 or step + 1 == args.max_train_steps:
+                path = save_router_checkpoint(out_dir / "ckpt", step + 1, router_state, opt_state)
+                print(f"[train] checkpoint -> {path}")
+            if stop_requested["flag"]:
+                path = save_router_checkpoint(out_dir / "ckpt", step + 1, router_state, opt_state)
+                print(f"[train] preempted: checkpoint -> {path}")
+                break
+    finally:
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
     logger.close()
     print("[train] done")
 

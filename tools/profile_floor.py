@@ -122,6 +122,22 @@ def main():
 
     timed("block_full_attn", block_off, bstate, x, ctx)
 
+    # true non-attention floor: self-attention replaced by identity
+    class _NoAttn(nnx.Module):
+        def __call__(self, h, rope, attn_cfg, scores, routing_mode,
+                     interpret=False, sp_axis=None):
+            return h
+
+    block.attn1 = _NoAttn()
+    graphdef2, bstate2 = nnx.split(block)
+
+    def block_noattn(c, i, bstate, x, ctx):
+        blk = nnx.merge(graphdef2, bstate)
+        out, _ = blk(perturb(x, i), ctx, temb6, temb, rope, attn, "hard")
+        return c + out.astype(jnp.float32).mean()
+
+    timed("block_no_selfattn", block_noattn, bstate2, x, ctx)
+
 
 if __name__ == "__main__":
     main()
