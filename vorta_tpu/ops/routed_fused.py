@@ -246,6 +246,55 @@ def fused_routed_attention(
         return unpool(out_p, qh, groups, interpret=interpret).astype(q.dtype)
 
     if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
+        import os
+
+        if os.environ.get("VORTA_ROUTED_DISPATCH", "switch") == "masked":
+            # one launch per EXPERT instead of one per head: the v6 STA
+            # kernel skips compute for inactive heads (their slab streams
+            # hide under active heads), the masked-table kernel idles
+            # zero-count rows, and lowres keeps per-head pooling conds.
+            # Costs two full-size combine adds; saves ~10 per-head kernel
+            # launches per block.
+            def sta_all():
+                return _sta_dispatch(
+                    q, k, v, (expert_id == STA).astype(jnp.int32),
+                    cfg, scale, interpret,
+                )
+
+            def full_all():
+                return _masked_call(
+                    geo.full, q, k, v, expert_id == FULL,
+                    geo.tokens_per_tile, scale, interpret,
+                )[:, :, :s]
+
+            def lowres_all():
+                def one_head(hh):
+                    return jax.lax.cond(
+                        expert_id[hh] == LOWRES,
+                        lambda: lowres_head(
+                            q[:, hh : hh + 1], k[:, hh : hh + 1],
+                            v[:, hh : hh + 1],
+                        ),
+                        lambda: jnp.zeros(
+                            (q.shape[0], 1, q.shape[2], q.shape[3]), q.dtype
+                        ),
+                    )
+
+                return jnp.concatenate(
+                    [one_head(hh) for hh in range(q.shape[1])], axis=1
+                )
+
+            def guard(e, branch):
+                return jax.lax.cond(
+                    jnp.any(expert_id == e), branch,
+                    lambda: jnp.zeros(q.shape, q.dtype),
+                )
+
+            return (
+                guard(STA, sta_all)
+                + guard(FULL, full_all)
+                + guard(LOWRES, lowres_all)
+            )
 
         def head_out(hh):
             qh = q[:, hh : hh + 1]

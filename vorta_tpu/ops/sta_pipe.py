@@ -145,41 +145,48 @@ def _kernel(
         )
 
     # nw independent (dot, softmax, pv) streams: the next tile's q@k (MXU)
-    # never depends on the previous tile's softmax (VPU)
-    for wi in range(nw):
-        ws = w_starts[wi]
-        k_wi = k_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
-        s = jax.lax.dot_general(
-            qs[wi], k_wi,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if variant == "qk":
-            acc_s[wi] += jnp.sum(s, axis=-1, keepdims=True) * 1e-3
-            continue
-        v_wi = v_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
-        if variant == "dots":
-            p = (s * 1e-3).astype(v_wi.dtype)
-            acc_s[wi] += jax.lax.dot_general(
-                p, v_wi,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+    # never depends on the previous tile's softmax (VPU).  Inactive heads
+    # (participation-masked dispatch) skip all compute: the pipeline still
+    # streams their slabs, but those DMAs hide under other heads' compute.
+    @pl.when(active_ref[g] > 0)
+    def _compute():
+        for wi in range(nw):
+            ws = w_starts[wi]
+            k_wi = k_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
+            s = jax.lax.dot_general(
+                qs[wi], k_wi,
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            continue
-        soft_pv(wi, s, v_wi)
+            if variant == "qk":
+                acc_s[wi] += jnp.sum(s, axis=-1, keepdims=True) * 1e-3
+                continue
+            v_wi = v_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
+            if variant == "dots":
+                p = (s * 1e-3).astype(v_wi.dtype)
+                acc_s[wi] += jax.lax.dot_general(
+                    p, v_wi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                continue
+            soft_pv(wi, s, v_wi)
 
     @pl.when(j == n_chunks - 1)
     def _finish():
         if text_len:
-            kt = tk_ref[0, 0]
-            vt = tv_ref[0, 0]
-            for wi in range(nw):
-                s = jax.lax.dot_general(
-                    qs[wi], kt,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + bias_ref[0][None, :]
-                soft_pv(wi, s, vt)
+
+            @pl.when(active_ref[g] > 0)
+            def _text_tail():
+                kt = tk_ref[0, 0]
+                vt = tv_ref[0, 0]
+                for wi in range(nw):
+                    s = jax.lax.dot_general(
+                        qs[wi], kt,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + bias_ref[0][None, :]
+                    soft_pv(wi, s, vt)
         a = (active_ref[g] > 0).astype(jnp.float32)
         for wi in range(nw):
             l = l_s[wi]
