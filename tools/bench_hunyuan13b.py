@@ -65,22 +65,22 @@ def main():
     def init_leaf(path, leaf):
         shape, dtype = leaf.shape, leaf.dtype
         name = "/".join(str(p) for p in path)
-        arr = rng.standard_normal(shape).astype(np.float32) * 0.02
+        arr = (rng.random(shape, dtype=np.float32) - 0.5) * 0.05
         if "router" in name and "bias" in name:
             bias = np.zeros(shape[-1], np.float32)
             for h in range(n_heads):
                 e = 1 if h < n_lowres else 2
                 bias[h * n_exp + e] = 8.0
             arr = np.broadcast_to(bias, shape).copy()
-        return arr.astype(ml_dtypes.bfloat16) if dtype == jnp.bfloat16 else \
-            arr.astype(np.dtype(dtype))
+        # stay f32 on host: quantize records bf16 as the dequant dtype
+        return arr.astype(np.dtype(dtype)) if dtype != jnp.bfloat16 else arr
 
     qtrees = []
     t0 = time.time()
     for mod in (abs_model.dual_blocks, abs_model.single_blocks):
         _, abs_blocks = nnx.split(mod)
         host = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
-        qt = quantize_stacked_tree(host, bits=args.bits)
+        qt = quantize_stacked_tree(host, bits=args.bits, out_dtype=ml_dtypes.bfloat16)
         del host
         qtrees.append(jax.tree.map(jnp.asarray, qt))
     print(f"[13b] init+quantize {time.time() - t0:.0f}s -> "

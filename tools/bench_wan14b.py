@@ -75,7 +75,8 @@ def main():
     def init_leaf(path, leaf):
         shape, dtype = leaf.shape, leaf.dtype
         name = "/".join(str(p) for p in path)
-        arr = (rng.standard_normal(shape).astype(np.float32) * 0.02)
+        # uniform f32 init: ~10x faster than standard_normal at 14e9 elements
+        arr = (rng.random(shape, dtype=np.float32) - 0.5) * 0.05
         if "router" in name and "bias" in name:
             # trained-mix emulation: head h -> lowres (h < 39%*H) else STA
             bias = np.zeros(shape[-1], np.float32)
@@ -83,14 +84,14 @@ def main():
                 e = 1 if h < n_lowres else 2
                 bias[h * n_exp + e] = 8.0
             arr = np.broadcast_to(bias, shape).copy()
-        return arr.astype(ml_dtypes.bfloat16) if dtype == jnp.bfloat16 else \
-            arr.astype(np.dtype(dtype))
+        # stay f32 on host: quantize records bf16 as the dequant dtype
+        return arr.astype(np.dtype(dtype)) if dtype != jnp.bfloat16 else arr
 
     t0 = time.time()
     host_blocks = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
     print(f"[14b] host init {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
-    qtree = quantize_stacked_tree(host_blocks, bits=args.bits)
+    qtree = quantize_stacked_tree(host_blocks, bits=args.bits, out_dtype=ml_dtypes.bfloat16)
     del host_blocks
     print(f"[14b] quantize {time.time() - t0:.0f}s -> "
           f"{quantized_bytes(qtree) / 2**30:.2f} GiB", flush=True)

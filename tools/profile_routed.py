@@ -96,6 +96,10 @@ def main():
     timed("routed_all_lowres", mk_routed([LOWRES] * h))
     timed("routed_all_sta", mk_routed([STA] * h))
     timed("routed_mixed_336", mk_routed([FULL] * 3 + [LOWRES] * 3 + [STA] * 6))
+    # trained-router head mix (0% full / 39% lowres / 61% STA);
+    # VORTA_ROUTED_DISPATCH=masked switches per-head lax.switch to
+    # one-launch-per-expert participation masking
+    timed("routed_mixed_5L7S", mk_routed([LOWRES] * 5 + [STA] * 7))
 
     def pool_only(c, i, q, k, v):
         pq, m = pool_by_similarity(perturb(q, i), groups)

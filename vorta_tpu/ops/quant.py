@@ -47,9 +47,13 @@ class QTensor:
         return cls(q=q, scale=scale, shape=shape, dtype=dtype, bits=bits)
 
 
-def _quantize_leaf(w: np.ndarray, bits: int) -> QTensor:
-    """Symmetric per-output-channel (last axis) quantization of (L, ..., out)."""
-    orig_dtype = w.dtype
+def _quantize_leaf(w: np.ndarray, bits: int, out_dtype=None) -> QTensor:
+    """Symmetric per-output-channel (last axis) quantization of (L, ..., out).
+
+    ``out_dtype`` overrides the recorded dequantization dtype — lets callers
+    keep host staging arrays in f32 (ml_dtypes bf16 conversion of tens of GB
+    is ~30 MB/s) while dequantizing to bf16 on device."""
+    orig_dtype = out_dtype if out_dtype is not None else w.dtype
     wf = np.asarray(w, np.float32)
     red_axes = tuple(range(1, wf.ndim - 1))
     amax = np.abs(wf).max(axis=red_axes, keepdims=True) if red_axes else np.abs(wf)
@@ -89,12 +93,12 @@ def dequantize(qt: QTensor) -> jax.Array:
 
 
 def quantize_stacked_tree(
-    state: Any, bits: int = 4, min_bytes: int = 1 << 22,
+    state: Any, bits: int = 4, min_bytes: int = 1 << 22, out_dtype=None,
 ) -> Any:
     """Quantize every large floating leaf of a stacked (L, ...) block-state
-    pytree; small leaves (norms, biases, tables) stay as-is.  Leaves may be
-    numpy or jax arrays; output quantized leaves are numpy (host RAM) until
-    device_put by the caller."""
+    pytree; small leaves (norms, biases, tables) stay as-is (cast to
+    ``out_dtype`` when given).  Leaves may be numpy or jax arrays; output
+    quantized leaves are numpy (host RAM) until device_put by the caller."""
 
     def visit(leaf):
         arr = np.asarray(leaf)
@@ -102,7 +106,11 @@ def quantize_stacked_tree(
             np.issubdtype(np.asarray(arr).dtype, np.floating)
             or str(arr.dtype) == "bfloat16"
         ) and arr.nbytes >= min_bytes and arr.ndim >= 3 and arr.shape[-2] % 2 == 0:
-            return _quantize_leaf(arr, bits)
+            return _quantize_leaf(arr, bits, out_dtype=out_dtype)
+        if out_dtype is not None and (
+            np.issubdtype(arr.dtype, np.floating) or str(arr.dtype) == "bfloat16"
+        ):
+            return arr.astype(out_dtype)
         return leaf
 
     return jax.tree.map(visit, state)
