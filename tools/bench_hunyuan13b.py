@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--frames", type=int, default=117)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--cache", default="/tmp/hy13b_q.pkl",
+                    help="pickle cache of the quantized stack (host prep ~20 min)")
     args = ap.parse_args()
 
     import dataclasses
@@ -75,16 +77,27 @@ def main():
         # stay f32 on host: quantize records bf16 as the dequant dtype
         return arr.astype(np.dtype(dtype)) if dtype != jnp.bfloat16 else arr
 
-    qtrees = []
+    import pickle
+    from pathlib import Path
+
+    cache = Path(args.cache + f".b{args.bits}")
     t0 = time.time()
-    for mod in (abs_model.dual_blocks, abs_model.single_blocks):
-        _, abs_blocks = nnx.split(mod)
-        host = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
-        qt = quantize_stacked_tree(host, bits=args.bits, out_dtype=ml_dtypes.bfloat16)
-        del host
-        qtrees.append(jax.tree.map(jnp.asarray, qt))
-    print(f"[13b] init+quantize {time.time() - t0:.0f}s -> "
-          f"{sum(quantized_bytes(q) for q in qtrees) / 2**30:.2f} GiB", flush=True)
+    if cache.exists():
+        host_trees = pickle.loads(cache.read_bytes())
+        print(f"[13b] quantized stacks from cache {time.time() - t0:.0f}s", flush=True)
+    else:
+        host_trees = []
+        for mod in (abs_model.dual_blocks, abs_model.single_blocks):
+            _, abs_blocks = nnx.split(mod)
+            host = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
+            host_trees.append(quantize_stacked_tree(host, bits=args.bits,
+                                                    out_dtype=ml_dtypes.bfloat16))
+            del host
+        print(f"[13b] init+quantize {time.time() - t0:.0f}s -> "
+              f"{sum(quantized_bytes(q) for q in host_trees) / 2**30:.2f} GiB",
+              flush=True)
+        cache.write_bytes(pickle.dumps(host_trees, protocol=4))
+    qtrees = [jax.tree.map(jnp.asarray, qt) for qt in host_trees]
     jax.block_until_ready(jax.tree.leaves(qtrees))
 
     b = 1

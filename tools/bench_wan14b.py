@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--frames", type=int, default=77)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--cache", default="/tmp/wan14b_q.pkl",
+                    help="pickle cache of the quantized stack (host prep ~20 min)")
     args = ap.parse_args()
 
     import dataclasses
@@ -87,14 +89,24 @@ def main():
         # stay f32 on host: quantize records bf16 as the dequant dtype
         return arr.astype(np.dtype(dtype)) if dtype != jnp.bfloat16 else arr
 
-    t0 = time.time()
-    host_blocks = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
-    print(f"[14b] host init {time.time() - t0:.0f}s", flush=True)
-    t0 = time.time()
-    qtree = quantize_stacked_tree(host_blocks, bits=args.bits, out_dtype=ml_dtypes.bfloat16)
-    del host_blocks
-    print(f"[14b] quantize {time.time() - t0:.0f}s -> "
-          f"{quantized_bytes(qtree) / 2**30:.2f} GiB", flush=True)
+    import pickle
+    from pathlib import Path
+
+    cache = Path(args.cache + f".b{args.bits}")
+    if cache.exists():
+        t0 = time.time()
+        qtree = pickle.loads(cache.read_bytes())
+        print(f"[14b] quantized stack from cache {time.time() - t0:.0f}s", flush=True)
+    else:
+        t0 = time.time()
+        host_blocks = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
+        print(f"[14b] host init {time.time() - t0:.0f}s", flush=True)
+        t0 = time.time()
+        qtree = quantize_stacked_tree(host_blocks, bits=args.bits, out_dtype=ml_dtypes.bfloat16)
+        del host_blocks
+        print(f"[14b] quantize {time.time() - t0:.0f}s -> "
+              f"{quantized_bytes(qtree) / 2**30:.2f} GiB", flush=True)
+        cache.write_bytes(pickle.dumps(qtree, protocol=4))
     qtree = jax.tree.map(jnp.asarray, qtree)
     jax.block_until_ready(jax.tree.leaves(qtree))
     print("[14b] quantized stack on device", flush=True)

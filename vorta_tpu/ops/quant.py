@@ -38,7 +38,7 @@ class QTensor:
     bits: int
 
     def tree_flatten(self):
-        return (self.q, self.scale), (self.shape, str(self.dtype), self.bits)
+        return (self.q, self.scale), (self.shape, np.dtype(self.dtype).name, self.bits)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -53,7 +53,7 @@ def _quantize_leaf(w: np.ndarray, bits: int, out_dtype=None) -> QTensor:
     ``out_dtype`` overrides the recorded dequantization dtype — lets callers
     keep host staging arrays in f32 (ml_dtypes bf16 conversion of tens of GB
     is ~30 MB/s) while dequantizing to bf16 on device."""
-    orig_dtype = out_dtype if out_dtype is not None else w.dtype
+    orig_dtype = np.dtype(out_dtype if out_dtype is not None else w.dtype)
     wf = np.asarray(w, np.float32)
     red_axes = tuple(range(1, wf.ndim - 1))
     amax = np.abs(wf).max(axis=red_axes, keepdims=True) if red_axes else np.abs(wf)
