@@ -86,3 +86,18 @@ def test_stable_softmax_matches_fast():
     stab = sta_pipe_attention(q, k, v, active, softmax="stable", **kw)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(stab),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sT_variant_matches_full():
+    latent, tile = (8, 6, 32), (2, 3, 8)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    kw = dict(latent_shape=latent, tile=tile, window=(3, 3, 3), interpret=True)
+    active = jnp.ones((h,), jnp.int32)
+    a = sta_pipe_attention(q, k, v, active, variant="sT", **kw)
+    b_ = sta_pipe_attention(q, k, v, active, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)

@@ -36,7 +36,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geom", default="wan", choices=["wan", "hunyuan"])
     ap.add_argument("--which", default="both")
-    ap.add_argument("--variant", default="full", choices=["full", "dots", "qk"])
+    ap.add_argument("--variant", default="full", choices=["full", "dots", "qk", "sT"])
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
 

@@ -153,6 +153,26 @@ def _kernel(
         for wi in range(nw):
             ws = w_starts[wi]
             k_wi = k_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
+            if variant == "sT":
+                # transposed-score formulation: swap dot operands so Mosaic's
+                # operand transpose lands on the small reused q tile instead
+                # of the per-stream-chunk K window (fast softmax only)
+                sT = jax.lax.dot_general(
+                    k_wi, qs[wi],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (kv, tpt)
+                p = jnp.exp2(sT)
+                l_s[wi] += jnp.sum(p, axis=0)[:, None]
+                v_wi = v_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
+                if cast_p_to_v_dtype and v_wi.dtype != jnp.float32:
+                    p = p.astype(v_wi.dtype)
+                acc_s[wi] += jax.lax.dot_general(
+                    p, v_wi,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                continue
             s = jax.lax.dot_general(
                 qs[wi], k_wi,
                 dimension_numbers=(((1,), (1,)), ((), ())),
