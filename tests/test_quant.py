@@ -28,7 +28,7 @@ def test_int4_roundtrip_error_and_packing():
     rng = np.random.default_rng(1)
     w = rng.standard_normal((4, 16, 32)).astype(np.float32)
     qt = quantize_stacked_tree({"w": w}, bits=4, min_bytes=0)["w"]
-    assert qt.q.dtype == np.uint8 and qt.q.shape == (4, 8, 32)  # packed pairs
+    assert qt.q.dtype == np.int32 and qt.q.shape == (4, 2, 32)  # 8 nibbles/word
     back = np.asarray(dequantize(qt))
     scale = np.abs(w).max(axis=1, keepdims=True) / 7.0
     assert np.all(np.abs(back - w) <= scale / 2 + 1e-7)

@@ -54,7 +54,10 @@ def main():
     grid = (t_lat, args.height // 16, args.width // 16)
     attn = AttentionConfig(
         latent_shape=grid, sta_window=(3, 3, 3), sta_tile=(5, 9, 8),
-        lowres_window=(2, 3, 2), block_q=1024, block_kv=1024, tau_sparse=0.3,
+        # 1000-token blocks divide S=72000 and pooled 36000 exactly: the
+        # padded q/k/v copies of 1024-blocks (+7.1 GB at 40 heads) would
+        # not fit HBM next to the quantized stack
+        lowres_window=(2, 3, 2), block_q=1000, block_kv=1000, tau_sparse=0.3,
     )
 
     # depth-1 host model supplies the non-block modules + the block graphdef;

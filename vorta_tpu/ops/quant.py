@@ -28,10 +28,10 @@ import numpy as np
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
-    """A quantized stacked weight: int4 (packed two-per-uint8 along the
+    """A quantized stacked weight: int4 (8 nibbles per int32 word along the
     second-to-last axis) or int8, with per-(layer, out-channel) scales."""
 
-    q: Any  # uint8 (int4, packed) or int8, leading dim = layers
+    q: Any  # int32 (int4, packed) or int8, leading dim = layers
     scale: Any  # (L, ..., out) float32
     shape: tuple  # original per-layer shape INCLUDING the leading L
     dtype: Any  # original dtype (static string repr kept via aux)
@@ -63,12 +63,21 @@ def _quantize_leaf(w: np.ndarray, bits: int, out_dtype=None) -> QTensor:
         q = np.clip(np.rint(wf / scale), -127, 127).astype(np.int8)
     elif bits == 4:
         scale = amax / 7.0
-        q4 = np.clip(np.rint(wf / scale), -7, 7).astype(np.int8) + 8  # [1, 15]
-        if wf.ndim < 2 or wf.shape[-2] % 2:
-            raise ValueError(f"int4 packing needs even second-to-last dim, got {wf.shape}")
-        hi = q4[..., 0::2, :]
-        lo = q4[..., 1::2, :]
-        q = (hi.astype(np.uint8) << 4) | lo.astype(np.uint8)
+        q4 = np.clip(np.rint(wf / scale), -7, 7).astype(np.int64) + 8  # [1, 15]
+        if wf.ndim < 2 or wf.shape[-2] % 8:
+            raise ValueError(
+                f"int4 packing needs second-to-last dim % 8 == 0, got {wf.shape}"
+            )
+        # pack 8 nibbles per int32 word along the second-to-last axis:
+        # int32 keeps XLA's standard (8,128) tiling, so stacked quantized
+        # weights scan without relayout copies (u8 arrays got (4,1)-packed
+        # loop layouts and XLA duplicated the whole stack into HLO temps)
+        q = np.zeros(
+            wf.shape[:-2] + (wf.shape[-2] // 8, wf.shape[-1]), np.int64
+        )
+        for n in range(8):
+            q |= q4[..., n::8, :] << (4 * n)
+        q = q.astype(np.uint32).view(np.int32)
     else:
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     return QTensor(q=q, scale=scale.astype(np.float32),
@@ -83,10 +92,11 @@ def dequantize(qt: QTensor) -> jax.Array:
         w = qt.q.astype(jnp.float32) * qt.scale
     else:
         q = qt.q
-        hi = (q >> 4).astype(jnp.int32) - 8
-        lo = (q & 0xF).astype(jnp.int32) - 8
+        nibbles = [
+            ((jax.lax.shift_right_logical(q, 4 * n) & 0xF) - 8) for n in range(8)
+        ]
         # interleave back along the packed (second-to-last) axis
-        stacked = jnp.stack([hi, lo], axis=-2)  # (..., half, 2, out)
+        stacked = jnp.stack(nibbles, axis=-2)  # (..., eighth, 8, out)
         w = stacked.reshape(shape[:-2] + (shape[-2], shape[-1])).astype(jnp.float32)
         w = w * qt.scale
     return w.reshape(shape).astype(jnp.dtype(qt.dtype))
@@ -105,7 +115,7 @@ def quantize_stacked_tree(
         if (
             np.issubdtype(np.asarray(arr).dtype, np.floating)
             or str(arr.dtype) == "bfloat16"
-        ) and arr.nbytes >= min_bytes and arr.ndim >= 3 and arr.shape[-2] % 2 == 0:
+        ) and arr.nbytes >= min_bytes and arr.ndim >= 3 and arr.shape[-2] % 8 == 0:
             return _quantize_leaf(arr, bits, out_dtype=out_dtype)
         if out_dtype is not None and (
             np.issubdtype(arr.dtype, np.floating) or str(arr.dtype) == "bfloat16"
