@@ -99,6 +99,42 @@ def test_route_expert_ids_tau():
     np.testing.assert_array_equal(np.asarray(ids), [LOWRES, FULL, STA])
 
 
+def test_masked_dispatch_matches_switch_window_dense(monkeypatch):
+    """Window-dense geometry (tokens/tile >= 192): the default per-expert
+    masked dispatch must equal the per-head lax.switch dispatch and the
+    expert references."""
+    from vorta_tpu.ops.sta_window import prefer_window_dense
+
+    cfg = AttentionConfig(
+        latent_shape=(4, 6, 16),
+        sta_window=(3, 3, 3),
+        sta_tile=(4, 6, 8),
+        lowres_window=(2, 2, 2),
+        block_q=32,
+        block_kv=32,
+    )
+    assert prefer_window_dense(cfg.latent_shape, cfg.sta_tile)
+    b, h, d = 1, 4, 8
+    ks = jax.random.split(jax.random.PRNGKey(21), 3)
+    q, k, v = (jax.random.normal(ks[i], (b, h, cfg.seq_len, d)) for i in range(3))
+    ids = jnp.asarray([FULL, LOWRES, STA, STA], jnp.int32)
+
+    monkeypatch.setenv("VORTA_ROUTED_DISPATCH", "masked")
+    out_masked = fused_routed_attention(q, k, v, ids, cfg, interpret=True)
+    monkeypatch.setenv("VORTA_ROUTED_DISPATCH", "switch")
+    out_switch = fused_routed_attention(q, k, v, ids, cfg, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(out_switch), rtol=3e-5, atol=3e-5
+    )
+    full = full_attention(q, k, v, cfg, interpret=True)
+    low = lowres_attention(q, k, v, cfg, interpret=True)
+    sta = sta_attention(q, k, v, cfg, interpret=True)
+    ref = jnp.stack([full[:, 0], low[:, 1], sta[:, 2], sta[:, 3]], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(out_masked), np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+
+
 def test_fused_under_jit_with_traced_ids():
     q, k, v = rand_qkv(jax.random.PRNGKey(11))
 

@@ -248,7 +248,7 @@ def fused_routed_attention(
     if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
         import os
 
-        if os.environ.get("VORTA_ROUTED_DISPATCH", "switch") == "masked":
+        if os.environ.get("VORTA_ROUTED_DISPATCH", "masked") == "masked":
             # one launch per EXPERT instead of one per head: the v6 STA
             # kernel skips compute for inactive heads (their slab streams
             # hide under active heads), the masked-table kernel idles

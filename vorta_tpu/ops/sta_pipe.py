@@ -75,7 +75,7 @@ def _kernel(
     cast_p_to_v_dtype: bool,
     q_mult: int = 1,
     softmax: str = "fast",  # "fast" (no running max) | "stable"
-    variant: str = "full",  # diagnostic: "full" | "dots" (no softmax) | "qk"
+    variant: str = "full",  # diagnostic: full | dots | qk | sT (sT measured 34.9 vs 33.0 ms — operand swap does not help)
 ):
     it = iter(refs)
     _tab_ref = next(it)  # (n_rows, 2) tile-unit starts (consumed by index maps)
