@@ -24,7 +24,7 @@ to the lower slot).  Reference: vorta/attention/coreset_select.py:68-185.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -89,44 +89,88 @@ def _matching_3d(x_all32, gs: int, u: int, cs: int):
 
 
 def _pool_kernel(
-    q_ref, k_ref, v_ref,
-    qc_ref, qm_ref, kc_ref, km_ref, vc_ref, vm_ref,
-    *, gs, gc, u, cs, kv_from_k: bool,
+    *refs,
+    gs, gc, u, cs, kv_from_k: bool, masked: bool,
 ):
-    q_all = q_ref[0, 0].astype(jnp.float32)  # (gs, Gc, D)
-    k_all = k_ref[0, 0].astype(jnp.float32)
-    v_all = v_ref[0, 0].astype(jnp.float32)
+    it = iter(refs)
+    active_ref = next(it) if masked else None  # (H,) i32 scalar prefetch
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    qc_ref, qm_ref = next(it), next(it)
+    kc_ref, km_ref = next(it), next(it)
+    vc_ref, vm_ref = next(it), next(it)
 
-    picks_q = _matching_3d(q_all, gs, u, cs)
-    picks_kv = _matching_3d(k_all, gs, u, cs) if kv_from_k else picks_q
+    def body():
+        q_all = q_ref[0, 0].astype(jnp.float32)  # (gs, Gc, D)
+        k_all = k_ref[0, 0].astype(jnp.float32)
+        v_all = v_ref[0, 0].astype(jnp.float32)
 
-    def emit(x_all, picks, c_ref, m_ref):
-        c_ref[0, 0] = x_all[cs].astype(c_ref.dtype)
-        for i in range(u):
-            kept = jnp.sum(picks[i] * x_all, axis=0)  # (Gc, D)
-            m_ref[0, 0, i] = kept.astype(m_ref.dtype)
+        picks_q = _matching_3d(q_all, gs, u, cs)
+        picks_kv = _matching_3d(k_all, gs, u, cs) if kv_from_k else picks_q
 
-    emit(q_all, picks_q, qc_ref, qm_ref)
-    emit(k_all, picks_kv, kc_ref, km_ref)
-    emit(v_all, picks_kv, vc_ref, vm_ref)
+        def emit(x_all, picks, c_ref, m_ref):
+            c_ref[0, 0] = x_all[cs].astype(c_ref.dtype)
+            for i in range(u):
+                kept = jnp.sum(picks[i] * x_all, axis=0)  # (Gc, D)
+                m_ref[0, 0, i] = kept.astype(m_ref.dtype)
+
+        emit(q_all, picks_q, qc_ref, qm_ref)
+        emit(k_all, picks_kv, kc_ref, km_ref)
+        emit(v_all, picks_kv, vc_ref, vm_ref)
+
+    if not masked:
+        body()
+        return
+    g = pl.program_id(1)
+
+    @pl.when(active_ref[g] > 0)
+    def _active():
+        body()
+
+    @pl.when(active_ref[g] == 0)
+    def _skip():
+        # zero-fill so downstream masked attention never sees uninit VMEM
+        qc_ref[...] = jnp.zeros_like(qc_ref)
+        qm_ref[...] = jnp.zeros_like(qm_ref)
+        kc_ref[...] = jnp.zeros_like(kc_ref)
+        km_ref[...] = jnp.zeros_like(km_ref)
+        vc_ref[...] = jnp.zeros_like(vc_ref)
+        vm_ref[...] = jnp.zeros_like(vm_ref)
 
 
 def _unpool_kernel(
-    q_ref, c_ref, m_ref, out_ref,
-    *, gs, gc, u, cs,
+    *refs,
+    gs, gc, u, cs, masked: bool,
 ):
-    q_all = q_ref[0, 0].astype(jnp.float32)
-    picks = _matching_3d(q_all, gs, u, cs)  # (u, gs, Gc, 1)
+    it = iter(refs)
+    active_ref = next(it) if masked else None
+    q_ref, c_ref, m_ref, out_ref = next(it), next(it), next(it), next(it)
 
-    centers = c_ref[0, 0].astype(jnp.float32)  # (Gc, D)
-    kept = m_ref[0, 0].astype(jnp.float32)  # (u, Gc, D)
-    val = jnp.zeros((gs,) + centers.shape, jnp.float32)
-    mask = jnp.zeros((gs, centers.shape[0], 1), jnp.float32)
-    for i in range(u):
-        val = val + picks[i] * kept[i][None]
-        mask = mask + picks[i]
-    val = val + (1.0 - mask) * centers[None]
-    out_ref[0, 0] = val.astype(out_ref.dtype)
+    def body():
+        q_all = q_ref[0, 0].astype(jnp.float32)
+        picks = _matching_3d(q_all, gs, u, cs)  # (u, gs, Gc, 1)
+
+        centers = c_ref[0, 0].astype(jnp.float32)  # (Gc, D)
+        kept = m_ref[0, 0].astype(jnp.float32)  # (u, Gc, D)
+        val = jnp.zeros((gs,) + centers.shape, jnp.float32)
+        mask = jnp.zeros((gs, centers.shape[0], 1), jnp.float32)
+        for i in range(u):
+            val = val + picks[i] * kept[i][None]
+            mask = mask + picks[i]
+        val = val + (1.0 - mask) * centers[None]
+        out_ref[0, 0] = val.astype(out_ref.dtype)
+
+    if not masked:
+        body()
+        return
+    g = pl.program_id(1)
+
+    @pl.when(active_ref[g] > 0)
+    def _active():
+        body()
+
+    @pl.when(active_ref[g] == 0)
+    def _skip():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
 
 def _shapes(x, groups: LowresGroups):
@@ -151,12 +195,17 @@ def _cell_split(g: int, gs: int, d: int, itemsize: int) -> int:
 
 def pool_qkv(
     q: jax.Array, k: jax.Array, v: jax.Array, groups: LowresGroups,
-    *, kv_matching_from_k: bool = False, interpret: bool = False,
+    *, kv_matching_from_k: bool = False, active: Optional[jax.Array] = None,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pool (B,H,S,D) q/k/v to (B,H,P,D) in one fused kernel pass.
 
     Pooled layout matches ops/coreset.py: [all G centers | all G*U kept
     margins], group-major, margins least-similar-first.
+
+    ``active``: optional (H,) participation mask — inactive heads skip all
+    matching/selection compute and emit zeros (their rows are expected to
+    be masked out of the downstream pooled attention anyway).
     """
     geom, _, _, (b, h, d) = _shapes(q, groups)
     u = groups.num_kept_margins
@@ -165,15 +214,17 @@ def pool_qkv(
     cs = geom.center_slot
     gc = _cell_split(g, gs, d, q.dtype.itemsize)
     n_cells = g // gc
+    masked = active is not None
 
     kernel = functools.partial(
         _pool_kernel, gs=gs, gc=gc, u=u, cs=cs, kv_from_k=kv_matching_from_k,
+        masked=masked,
     )
 
-    def in_map(bb, hh_, i):
+    def in_map(bb, hh_, i, *refs):
         return (bb, hh_, 0, i, 0)
 
-    def c_map(bb, hh_, i):
+    def c_map(bb, hh_, i, *refs):
         return (bb, hh_, i, 0)
 
     qg = _to_slot_major(q, geom)
@@ -191,18 +242,34 @@ def pool_qkv(
             pl.BlockSpec((1, 1, u, gc, d), in_map),
         ]
 
+    in_specs = [pl.BlockSpec((1, 1, gs, gc, d), in_map)] * 3
+    if masked:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, n_cells),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        call_args = (active.astype(jnp.int32), qg, kg, vg)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(b, h, n_cells),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        call_args = (qg, kg, vg)
+
     outs = pl.pallas_call(
         kernel,
-        grid=(b, h, n_cells),
-        in_specs=[pl.BlockSpec((1, 1, gs, gc, d), in_map)] * 3,
-        out_specs=out_specs,
+        grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
-    )(qg, kg, vg)
+    )(*call_args)
 
     def finish(c, m):
         # (B,H,U,G,D) slot-major kept -> group-major (B,H,G*U,D)
@@ -215,10 +282,13 @@ def pool_qkv(
 
 def unpool(
     pooled_out: jax.Array, q: jax.Array, groups: LowresGroups,
-    *, interpret: bool = False,
+    *, active: Optional[jax.Array] = None, interpret: bool = False,
 ) -> jax.Array:
     """Scatter a pooled (B,H,P,D) attention output back to (B,H,S,D),
-    re-deriving Q's matching in-kernel (bitwise-identical arithmetic)."""
+    re-deriving Q's matching in-kernel (bitwise-identical arithmetic).
+
+    ``active``: optional (H,) participation mask — inactive heads skip the
+    matching compute and write zeros."""
     geom, _, _, (b, h, d) = _shapes(q, groups)
     u = groups.num_kept_margins
     g = groups.num_groups
@@ -226,8 +296,11 @@ def unpool(
     cs = geom.center_slot
     gc = _cell_split(g, gs, d, q.dtype.itemsize)
     n_cells = g // gc
+    masked = active is not None
 
-    kernel = functools.partial(_unpool_kernel, gs=gs, gc=gc, u=u, cs=cs)
+    kernel = functools.partial(
+        _unpool_kernel, gs=gs, gc=gc, u=u, cs=cs, masked=masked,
+    )
     centers = pooled_out[:, :, :g]
     kept = (
         pooled_out[:, :, g:]
@@ -236,26 +309,35 @@ def unpool(
     )
     qg = _to_slot_major(q, geom)
 
-    def in_map(bb, hh_, i):
+    def in_map(bb, hh_, i, *refs):
         return (bb, hh_, 0, i, 0)
 
-    def c_map(bb, hh_, i):
+    def c_map(bb, hh_, i, *refs):
         return (bb, hh_, i, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, gs, gc, d), in_map),
+        pl.BlockSpec((1, 1, gc, d), c_map),
+        pl.BlockSpec((1, 1, u, gc, d), in_map),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1 if masked else 0,
+        grid=(b, h, n_cells),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, gs, gc, d), in_map),
+    )
+    call_args = (qg, centers, kept)
+    if masked:
+        call_args = (active.astype(jnp.int32),) + call_args
 
     out_sm = pl.pallas_call(
         kernel,
-        grid=(b, h, n_cells),
-        in_specs=[
-            pl.BlockSpec((1, 1, gs, gc, d), in_map),
-            pl.BlockSpec((1, 1, gc, d), c_map),
-            pl.BlockSpec((1, 1, u, gc, d), in_map),
-        ],
-        out_specs=pl.BlockSpec((1, 1, gs, gc, d), in_map),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, gs, g, d), pooled_out.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
-    )(qg, centers, kept)
+    )(*call_args)
     return _from_slot_major(out_sm, geom)

@@ -245,6 +245,27 @@ def fused_routed_attention(
         )[:, :, : groups.pooled_length]
         return unpool(out_p, qh, groups, interpret=interpret).astype(q.dtype)
 
+    def lowres_all_perhead():
+        # Per-HEAD cond, NOT a batched masked chain: a fused all-head
+        # pool/attend/unpool was measured SLOWER at the trained mix (59.6
+        # vs 54.5 ms mixed-5L7S at 720p) because BlockSpec streams pool
+        # slabs for inactive heads too — pooling DMA scales with all H
+        # while the cond path only moves the routed heads' data.
+        def one_head(hh):
+            return jax.lax.cond(
+                expert_id[hh] == LOWRES,
+                lambda: lowres_head(
+                    q[:, hh : hh + 1], k[:, hh : hh + 1], v[:, hh : hh + 1]
+                ),
+                lambda: jnp.zeros(
+                    (q.shape[0], 1, q.shape[2], q.shape[3]), q.dtype
+                ),
+            )
+
+        return jnp.concatenate(
+            [one_head(hh) for hh in range(q.shape[1])], axis=1
+        )
+
     if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
         import os
 
@@ -267,22 +288,7 @@ def fused_routed_attention(
                     geo.tokens_per_tile, scale, interpret,
                 )[:, :, :s]
 
-            def lowres_all():
-                def one_head(hh):
-                    return jax.lax.cond(
-                        expert_id[hh] == LOWRES,
-                        lambda: lowres_head(
-                            q[:, hh : hh + 1], k[:, hh : hh + 1],
-                            v[:, hh : hh + 1],
-                        ),
-                        lambda: jnp.zeros(
-                            (q.shape[0], 1, q.shape[2], q.shape[3]), q.dtype
-                        ),
-                    )
-
-                return jnp.concatenate(
-                    [one_head(hh) for hh in range(q.shape[1])], axis=1
-                )
+            lowres_all = lowres_all_perhead
 
             def guard(e, branch):
                 return jax.lax.cond(
@@ -337,24 +343,7 @@ def fused_routed_attention(
         )[:, :, :s]
 
     def lowres_branch():
-        # Per-HEAD cond: pooling/unpooling is pure data movement whose cost
-        # cannot be masked away inside a joint kernel call (unlike the
-        # attention rows), so each head pools only if the router actually
-        # sent it here; inactive heads cost one zeros-fill.
-        def one_head(hh):
-            return jax.lax.cond(
-                expert_id[hh] == LOWRES,
-                lambda: lowres_head(
-                    q[:, hh : hh + 1], k[:, hh : hh + 1], v[:, hh : hh + 1]
-                ),
-                lambda: jnp.zeros(
-                    (q.shape[0], 1, q.shape[2], q.shape[3]), q.dtype
-                ),
-            )
-
-        return jnp.concatenate(
-            [one_head(hh) for hh in range(q.shape[1])], axis=1
-        )
+        return lowres_all_perhead()
 
     def sta_branch():
         # only reached when prefer_window_dense() was False above, so this
