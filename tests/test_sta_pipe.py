@@ -68,8 +68,69 @@ def test_joint_text_tail_matches_v5():
 def test_supports():
     assert supports_pipe((20, 45, 80), (5, 9, 8), 128)
     assert supports_pipe((30, 45, 80), (6, 9, 8), 128, text_len=256)
-    assert not supports_pipe((20, 30, 52), (4, 6, 4), 128)  # tw % 8
+    assert supports_pipe((20, 30, 52), (4, 6, 4), 128)  # tw % 8 -> masked-w
     assert not supports_pipe((20, 45, 80), (3, 9, 8), 128)  # 3 !| 20
+
+
+@pytest.mark.parametrize("latent,tile", [
+    ((4, 6, 12), (2, 3, 4)),   # tw % 8 != 0 -> masked-width variant
+    ((8, 6, 20), (2, 3, 4)),   # real clamping on t and w
+])
+def test_masked_width_matches_dense_oracle(latent, tile):
+    b, h, d = 1, 2, 32
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.float32)
+    out = sta_pipe_attention(
+        q, k, v, jnp.asarray([1, 0], jnp.int32),
+        latent_shape=latent, tile=tile, window=(3, 3, 3), interpret=True,
+    )
+    ref = dense_sta_oracle(q, k, v, latent, tile, (3, 3, 3))
+    np.testing.assert_allclose(np.asarray(out)[:, :1], ref[:, :1],
+                               rtol=2e-4, atol=2e-4)
+    assert np.abs(np.asarray(out)[:, 1]).max() == 0  # inactive head zeroed
+
+
+def test_masked_width_text_tail():
+    latent, tile = (4, 6, 12), (2, 3, 4)
+    b, h, d, lt, eff = 1, 2, 32, 16, 11
+    s = int(np.prod(latent))
+    rng = np.random.default_rng(6)
+    mk = lambda shape: jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    q, k, v = mk((b, h, s, d)), mk((b, h, s, d)), mk((b, h, s, d))
+    tk, tv = mk((b, h, lt, d)), mk((b, h, lt, d))
+    bias = jnp.where(jnp.arange(lt) < eff, 0.0, -1e30).astype(jnp.float32)
+    kw = dict(latent_shape=latent, tile=tile, window=(3, 3, 3),
+              text_k=tk, text_v=tv, text_bias=bias, interpret=True)
+    active = jnp.ones((h,), jnp.int32)
+    out = sta_pipe_attention(q, k, v, active, **kw)
+    # oracle: dense attention over [window video kv | valid text kv]
+    from vorta_tpu.geometry import sta_tile_mask
+
+    tmask = np.asarray(sta_tile_mask(latent, (3, 3, 3), tile))
+    tpt = int(np.prod(tile))
+    n_tiles = s // tpt
+    vis = np.repeat(np.repeat(tmask, tpt, 0), tpt, 1)
+    # kernel layout is raster, oracle mask is tile-layout: remap
+    from vorta_tpu.ops.layout import tile_sequence, untile_sequence
+
+    qt = tile_sequence(q, latent, tile)
+    kt_ = tile_sequence(k, latent, tile)
+    vt_ = tile_sequence(v, latent, tile)
+    logits = np.einsum("bhqd,bhkd->bhqk", np.asarray(qt), np.asarray(kt_))
+    logits = logits * (d ** -0.5)
+    logits = np.where(vis[None, None], logits, -1e30)
+    tl = np.einsum("bhqd,bhkd->bhqk", np.asarray(qt), np.asarray(tk)) * (d ** -0.5)
+    tl = tl + np.asarray(bias)[None, None, None, :]
+    full = np.concatenate([logits, tl], axis=-1)
+    p = np.exp(full - full.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    allv = np.concatenate([np.asarray(vt_), np.asarray(tv)], axis=2)
+    ref_t = np.einsum("bhqk,bhkd->bhqd", p, allv)
+    ref = np.asarray(untile_sequence(jnp.asarray(ref_t), latent, tile))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
 
 
 def test_stable_softmax_matches_fast():

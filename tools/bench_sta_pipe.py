@@ -34,7 +34,7 @@ def device_seconds(fn, *args, iters: int = 4) -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--geom", default="wan", choices=["wan", "hunyuan"])
+    ap.add_argument("--geom", default="wan", choices=["wan", "hunyuan", "wan480"])
     ap.add_argument("--which", default="both")
     ap.add_argument("--variant", default="full", choices=["full", "dots", "qk", "sT"])
     ap.add_argument("--iters", type=int, default=4)
@@ -42,6 +42,8 @@ def main():
 
     if args.geom == "wan":
         latent, tile, h, lt = (20, 45, 80), (5, 9, 8), 12, 0
+    elif args.geom == "wan480":  # tw % 8 != 0 -> masked-width variant
+        latent, tile, h, lt = (20, 30, 52), (4, 6, 4), 12, 0
     else:
         latent, tile, h, lt = (30, 45, 80), (6, 9, 8), 24, 256
     b, d = 1, 128

@@ -76,6 +76,8 @@ def _kernel(
     q_mult: int = 1,
     softmax: str = "fast",  # "fast" (no running max) | "stable"
     variant: str = "full",  # diagnostic: full | dots | qk | sT (sT measured 34.9 vs 33.0 ms — operand swap does not help)
+    masked_w: bool = False,  # full-width scores + static w-window bias
+    grouped: Optional[tuple] = None,  # (n_groups, bw8, los, w_padded) for tw|8
 ):
     it = iter(refs)
     _tab_ref = next(it)  # (n_rows, 2) tile-unit starts (consumed by index maps)
@@ -83,6 +85,7 @@ def _kernel(
     q_ref = next(it)  # (1, 1, tt, th, W, D)
     k_ref = next(it)  # (1, 1, tt, th, W, D) — current window chunk slab
     v_ref = next(it)
+    wmask_ref = next(it) if masked_w else None  # (tpt_all, kv_len) f32 bias
     tk_ref = next(it) if text_len else None  # (1, 1, Lt, D)
     tv_ref = next(it) if text_len else None
     bias_ref = next(it) if text_len else None  # (1, Lt) f32
@@ -107,10 +110,29 @@ def _kernel(
     # q arrives PRE-SCALED by scale*log2(e) (host side), so the kernel's only
     # per-score VPU work in "fast" mode is exp2 + sum + cast
     q_row = q_ref[0, 0]  # (q_mult*tt, th, W, D)
-    qs = [
-        q_row[:, :, wi * tw : (wi + 1) * tw, :].reshape(tpt, d)
-        for wi in range(nw)
-    ]
+    w_full = q_row.shape[2]
+    if grouped is not None:
+        # tw | 8 but tw % 8 != 0: stream per 8-token w GROUP — all q/k/out
+        # slices land on 8-aligned sublane offsets with 8-multiple widths
+        # (free reshapes), k windows are the group's union rounded out to
+        # bw8 tokens, and a small static bias masks the over-read
+        n_groups, bw8, g_los, _ = grouped
+        qs = [
+            q_row[:, :, gi * 8 : (gi + 1) * 8, :].reshape(
+                q_mult * tt * th * 8, d
+            )
+            for gi in range(n_groups)
+        ]
+    elif masked_w:
+        # tw not a divisor of 8 either: ONE full-width stream with an
+        # additive w-window bias (W slices would be sublane-misaligned)
+        tpt_all = q_mult * tt * th * w_full
+        qs = [q_row.reshape(tpt_all, d)]
+    else:
+        qs = [
+            q_row[:, :, wi * tw : (wi + 1) * tw, :].reshape(tpt, d)
+            for wi in range(nw)
+        ]
     k_chunk = k_ref[0, 0]
     v_chunk = v_ref[0, 0]
 
@@ -150,6 +172,36 @@ def _kernel(
     # streams their slabs, but those DMAs hide under other heads' compute.
     @pl.when(active_ref[g] > 0)
     def _compute():
+        if grouped is not None:
+            n_groups, bw8, g_los, _ = grouped
+            cols = tt * th * bw8
+            for gi in range(n_groups):
+                lo = g_los[gi]
+                k_g = k_chunk[:, :, lo : lo + bw8, :].reshape(cols, d)
+                s = jax.lax.dot_general(
+                    qs[gi], k_g,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rows = qs[gi].shape[0]
+                s = (
+                    s.reshape(rows // 8, 8, cols)
+                    + wmask_ref[gi * 8 : (gi + 1) * 8, :][None]
+                ).reshape(rows, cols)
+                v_g = v_chunk[:, :, lo : lo + bw8, :].reshape(cols, d)
+                soft_pv(gi, s, v_g)
+            return
+        if masked_w:
+            kv_len = k_chunk.shape[0] * k_chunk.shape[1] * k_chunk.shape[2]
+            k_all = k_chunk.reshape(kv_len, d)
+            s = jax.lax.dot_general(
+                qs[0], k_all,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + wmask_ref[...]
+            v_all = v_chunk.reshape(kv_len, d)
+            soft_pv(0, s, v_all)
+            return
         for wi in range(nw):
             ws = w_starts[wi]
             k_wi = k_chunk[:, :, ws : ws + bw, :].reshape(tt * th * bw, d)
@@ -200,7 +252,7 @@ def _kernel(
             def _text_tail():
                 kt = tk_ref[0, 0]
                 vt = tv_ref[0, 0]
-                for wi in range(nw):
+                for wi in range(len(qs)):
                     s = jax.lax.dot_general(
                         qs[wi], kt,
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -208,6 +260,13 @@ def _kernel(
                     ) + bias_ref[0][None, :]
                     soft_pv(wi, s, vt)
         a = (active_ref[g] > 0).astype(jnp.float32)
+        if masked_w:
+            l = l_s[0]
+            out = acc_s[0] / jnp.where(l == 0.0, 1.0, l)
+            out_ref[0, 0] = (
+                (out * a).reshape(q_mult * tt, th, w_full, d).astype(out_ref.dtype)
+            )
+            return
         for wi in range(nw):
             l = l_s[wi]
             out = acc_s[wi] / jnp.where(l == 0.0, 1.0, l)
@@ -219,25 +278,38 @@ def _kernel(
 def supports_pipe(latent_shape: Shape3, tile: Shape3, d: int,
                   itemsize: int = 2, text_len: int = 0,
                   window: Shape3 = (3, 3, 3)) -> bool:
-    """Eligibility: tiles divide the grid, tile_w 8-aligned (free reshapes
-    of W slices), and the double-buffered slabs + states fit VMEM."""
+    """Eligibility: tiles divide the grid and the double-buffered slabs +
+    states fit VMEM.  tile_w 8-aligned runs the per-w-tile sliced streams
+    (free reshapes of W slices); misaligned tile_w runs the masked-width
+    variant (full-slab scores + precomputed w-window bias), whose VMEM
+    budget adds the (rows x slab) bias table and full-width f32 scores."""
     t, hh, w = latent_shape
     tt, th, tw = tile
     if t % tt or hh % th or w % tw:
-        return False
-    if tw % 8:
         return False
     nw = w // tw
     tpt = tt * th * tw
     slab = tt * th * w * d * itemsize
     bw = min(window[2], nw) * tw
-    est = (
+    common = (
         2 * 2 * slab                       # double-buffered k+v slabs
         + 2 * 2 * slab                     # q/out double-buffered blocks
-        + nw * tpt * (d + 2) * 4           # per-tile acc/m/l states
-        + 3 * tpt * tt * th * bw * 4       # live f32 scores (x3 margin)
         + 2 * 2 * text_len * d * itemsize  # text kv blocks (double-buffered)
     )
+    if tw % 8:
+        qm = _q_mult(latent_shape, tile, window)
+        rows = qm * tt * th * w  # single full-width stream
+        kv_len = tt * th * w
+        est = common + (
+            rows * (d + 2) * 4             # acc/m/l states
+            + rows * kv_len * 4            # w-window bias table
+            + 2 * rows * kv_len * 4        # live f32 scores (x2 margin)
+        )
+    else:
+        est = common + (
+            nw * tpt * (d + 2) * 4         # per-tile acc/m/l states
+            + 3 * tpt * tt * th * bw * 4   # live f32 scores (x3 margin)
+        )
     return est < 40 * 2**20
 
 
@@ -291,6 +363,21 @@ def sta_pipe_attention(
     tpt = qm * tt * th * tw
     n_rows = (nt // qm) * nh
     n_chunks = win_eff[0] * win_eff[1]
+    masked_w = tw % 8 != 0
+    wmask = None
+    if masked_w:
+        # misaligned tile_w: full-width scores with a precomputed w-window
+        # bias (one VMEM-resident table, identical for every row/chunk/head)
+        kv_len = tt * th * w
+        tpt_all = qm * tt * th * w
+        pos_q = np.arange(tpt_all) % w
+        pos_k = np.arange(kv_len) % w
+        ws_q = np.asarray(w_starts)[pos_q // tw]
+        bw_tok = win_eff[2] * tw
+        vis = (pos_k[None, :] >= ws_q[:, None]) & (
+            pos_k[None, :] < ws_q[:, None] + bw_tok
+        )
+        wmask = jnp.asarray(np.where(vis, 0.0, NEG_INF), jnp.float32)
 
     # row window starts in TILE units: exact block indices for the K/V maps
     # (supertiled cells use the start of their first row — identical by
@@ -327,6 +414,7 @@ def sta_pipe_attention(
         q_mult=qm,
         softmax=softmax,
         variant=variant,
+        masked_w=masked_w,
     )
 
     wh = win_eff[1]
@@ -345,6 +433,11 @@ def sta_pipe_attention(
         pl.BlockSpec((1, 1, tt, th, w, d), kv_map),
     ]
     inputs = [q6, k6, v6]
+    if masked_w:
+        in_specs.append(
+            pl.BlockSpec(wmask.shape, lambda bb, gg, ii, jj, *r: (0, 0))
+        )
+        inputs.append(wmask)
     if text_len:
         def text_map(bb, gg, ii, jj, *refs):
             return (bb, gg, 0, 0)
@@ -357,11 +450,18 @@ def sta_pipe_attention(
         inputs += [text_k.reshape(b, n_heads, text_len, d),
                    text_v.reshape(b, n_heads, text_len, d),
                    text_bias]
-    scratch = [
-        pltpu.VMEM((nw, tpt, 1), jnp.float32),
-        pltpu.VMEM((nw, tpt, 1), jnp.float32),
-        pltpu.VMEM((nw, tpt, d), jnp.float32),
-    ]
+    if masked_w:
+        scratch = [
+            pltpu.VMEM((1, qm * tt * th * w, 1), jnp.float32),
+            pltpu.VMEM((1, qm * tt * th * w, 1), jnp.float32),
+            pltpu.VMEM((1, qm * tt * th * w, d), jnp.float32),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((nw, tpt, 1), jnp.float32),
+            pltpu.VMEM((nw, tpt, 1), jnp.float32),
+            pltpu.VMEM((nw, tpt, d), jnp.float32),
+        ]
     out6 = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
