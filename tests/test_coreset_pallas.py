@@ -53,6 +53,29 @@ def test_unpool_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_masked_heads_match_unmasked_and_zero():
+    groups = build_lowres_groups(LATENT, WINDOW)
+    b, h, d = 1, 3, 32
+    s = int(np.prod(LATENT))
+    q, k, v = _mk((b, h, s, d), 7), _mk((b, h, s, d), 8), _mk((b, h, s, d), 9)
+    active = jnp.asarray([1, 0, 1], jnp.int32)
+
+    pq, pk, pv = pool_qkv(q, k, v, groups, active=active, interpret=True)
+    rq, rk, rv = pool_qkv(q, k, v, groups, interpret=True)
+    for got, ref in ((pq, rq), (pk, rk), (pv, rv)):
+        np.testing.assert_allclose(np.asarray(got)[:, 0], np.asarray(ref)[:, 0],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got)[:, 2], np.asarray(ref)[:, 2],
+                                   rtol=1e-6, atol=1e-6)
+        assert np.abs(np.asarray(got)[:, 1]).max() == 0
+
+    out = unpool(pq, q, groups, active=active, interpret=True)
+    ref_out = unpool(rq, q, groups, interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[:, 0], np.asarray(ref_out)[:, 0],
+                               rtol=1e-6, atol=1e-6)
+    assert np.abs(np.asarray(out)[:, 1]).max() == 0
+
+
 def test_pool_unpool_roundtrip_keeps_selected():
     """Kept tokens and centers survive a pool->unpool round trip."""
     groups = build_lowres_groups(LATENT, WINDOW)

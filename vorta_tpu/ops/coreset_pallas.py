@@ -3,18 +3,29 @@
 The XLA pooling path (ops/coreset.py) re-reads the raster tensors with
 strided window access patterns and runs the one-hot selection einsums as
 separate fusions — measured ~21 ms for q/k/v pool + unpool at Wan 720p x
-12 heads, vs a ~2 ms streaming floor.
+12 heads.  A first fused kernel that consumed an XLA-relaid slot-major
+(gs, G, D) copy measured 18.7 ms, 7.3 ms of which was the 9-d relayout
+transpose itself (256-byte gather runs, ~180 GB/s).
 
-This path pools q, k and v in ONE kernel pass over a *slot-major* grouped
-layout (gs, G, D): the relayout runs in XLA (window tiling + one transpose
-— the only data movement), and the kernel addresses each slot as a plain
-leading index — Mosaic rejects both >2-D gathers and sublane-strided
-slices (probed on the v5e), so every in-kernel operand is a clean
-(Gc, D)/(Gc, gs) 2-D tile.  The matching is computed once from Q and
-shared by K/V (reference: wan.py:250-255), or separately from K for
-Hunyuan (hunyuan.py:433-438).  The unpool kernel re-derives Q's matching
-(identical deterministic arithmetic) and scatters attention outputs back,
-dropped slots receiving their group center.
+This version reads the RASTER tensors directly — no relayout copy at all:
+
+- Each input is the free 8-d reshape (B, H, T2, wt, H3, wh, W2, ww*D) and
+  is passed once per ``wh`` slot-plane with a BlockSpec that pins that
+  plane: block (1, 1, 1, wt, H3, 1, W2c, ww*D).  For a fixed (t-row, wh)
+  the (W2, ww, D) span is CONTIGUOUS in HBM (one full w-row of the raster,
+  ~20 KB runs at 720p), so the strided block DMA streams at near peak.
+- Inside the kernel a slot (ti, hi, wi) is ref[ti] (static leading index)
+  plus a lane slice [:, wi*D:(wi+1)*D] — both free on Mosaic, which
+  rejects sublane-strided slices and >2-D gathers (probed on the v5e).
+- Kept margins are written as lane slices of a (Gc, U*D) block, so the
+  group-major pooled layout [centers | g-major margins] falls out of a
+  free reshape — no output transpose either.
+
+The matching is computed once from Q and shared by K/V (reference:
+wan.py:250-255), or separately from K for Hunyuan (hunyuan.py:433-438).
+The unpool kernel re-derives Q's matching (identical deterministic
+arithmetic) and scatters attention outputs back through per-``wh``-plane
+strided output blocks, dropped slots receiving their group center.
 
 Selection semantics are copied EXACTLY from ops/coreset.py (cosine
 ranking by (c.m)/||m||, center sentinel, U iterative arg-min passes, ties
@@ -40,30 +51,8 @@ def _geom(groups: LowresGroups):
     return groups._geom  # type: ignore[attr-defined]
 
 
-def _to_slot_major(x, geom):
-    """(B, H, S, D) raster -> (B, H, gs, G, D): one XLA relayout."""
-    b, h, s, d = x.shape
-    t, hh, w = geom.latent_shape
-    wt, wh, ww = geom.window
-    x9 = x.reshape(b, h, t // wt, wt, hh // wh, wh, w // ww, ww, d)
-    # slot dims (wt, wh, ww) leading, group dims (T2, H3, W2) raster
-    x9 = x9.transpose(0, 1, 3, 5, 7, 2, 4, 6, 8)
-    gs = wt * wh * ww
-    g = (t // wt) * (hh // wh) * (w // ww)
-    return x9.reshape(b, h, gs, g, d)
-
-
-def _from_slot_major(xg, geom):
-    b, h, gs, g, d = xg.shape
-    t, hh, w = geom.latent_shape
-    wt, wh, ww = geom.window
-    x9 = xg.reshape(b, h, wt, wh, ww, t // wt, hh // wh, w // ww, d)
-    x9 = x9.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8)
-    return x9.reshape(b, h, t * hh * w, d)
-
-
 def _matching_3d(x_all32, gs: int, u: int, cs: int):
-    """Per-group kept-margin picks from a (gs, Gc, D) f32 slot-major block.
+    """Per-group kept-margin picks from a (gs, Gc, D) f32 slot-major stack.
 
     Returns a (u, gs, Gc, 1) f32 one-hot pick tensor.  Identical arithmetic
     to ops/coreset.py: cosine RANKING via (c.m)*rsqrt(||m||^2), center
@@ -88,30 +77,47 @@ def _matching_3d(x_all32, gs: int, u: int, cs: int):
     return jnp.stack(picks, axis=0)  # (u, gs, Gc, 1)
 
 
-def _pool_kernel(
-    *refs,
-    gs, gc, u, cs, kv_from_k: bool, masked: bool,
-):
+def _stack_slots(hi_refs, window, d):
+    """[wh refs of block (1,1,1,wt,H3,1,W2c,ww*D)] -> (gs, Gc, D) f32 stack
+    in slot-raster order (ti, hi, wi)."""
+    wt, wh, ww = window
+    tiles = []
+    for ti in range(wt):
+        for hi in range(wh):
+            r = hi_refs[hi][0, 0, 0, ti, :, 0]  # (H3, W2c, ww*D)
+            rows = r.reshape(r.shape[0] * r.shape[1], ww * d)
+            for wi in range(ww):
+                tiles.append(rows[:, wi * d : (wi + 1) * d])
+    return jnp.stack(tiles, axis=0).astype(jnp.float32)  # (gs, Gc, D)
+
+
+def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, masked: bool):
+    wt, wh, ww = window
+    gs = wt * wh * ww
     it = iter(refs)
     active_ref = next(it) if masked else None  # (H,) i32 scalar prefetch
-    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    q_refs = [next(it) for _ in range(wh)]
+    k_refs = [next(it) for _ in range(wh)]
+    v_refs = [next(it) for _ in range(wh)]
     qc_ref, qm_ref = next(it), next(it)
     kc_ref, km_ref = next(it), next(it)
     vc_ref, vm_ref = next(it), next(it)
 
     def body():
-        q_all = q_ref[0, 0].astype(jnp.float32)  # (gs, Gc, D)
-        k_all = k_ref[0, 0].astype(jnp.float32)
-        v_all = v_ref[0, 0].astype(jnp.float32)
+        q_all = _stack_slots(q_refs, window, d)  # (gs, Gc, D) f32
+        k_all = _stack_slots(k_refs, window, d)
+        v_all = _stack_slots(v_refs, window, d)
 
         picks_q = _matching_3d(q_all, gs, u, cs)
         picks_kv = _matching_3d(k_all, gs, u, cs) if kv_from_k else picks_q
 
         def emit(x_all, picks, c_ref, m_ref):
-            c_ref[0, 0] = x_all[cs].astype(c_ref.dtype)
-            for i in range(u):
-                kept = jnp.sum(picks[i] * x_all, axis=0)  # (Gc, D)
-                m_ref[0, 0, i] = kept.astype(m_ref.dtype)
+            h3, w2c = c_ref.shape[3], c_ref.shape[4]
+            c_ref[0, 0, 0] = x_all[cs].reshape(h3, w2c, d).astype(c_ref.dtype)
+            kept = jnp.concatenate(
+                [jnp.sum(picks[i] * x_all, axis=0) for i in range(u)], axis=-1
+            )  # (Gc, U*D) — lane-major kept, group-major after reshape
+            m_ref[0, 0, 0] = kept.reshape(h3, w2c, u * d).astype(m_ref.dtype)
 
         emit(q_all, picks_q, qc_ref, qm_ref)
         emit(k_all, picks_kv, kc_ref, km_ref)
@@ -129,35 +135,46 @@ def _pool_kernel(
     @pl.when(active_ref[g] == 0)
     def _skip():
         # zero-fill so downstream masked attention never sees uninit VMEM
-        qc_ref[...] = jnp.zeros_like(qc_ref)
-        qm_ref[...] = jnp.zeros_like(qm_ref)
-        kc_ref[...] = jnp.zeros_like(kc_ref)
-        km_ref[...] = jnp.zeros_like(km_ref)
-        vc_ref[...] = jnp.zeros_like(vc_ref)
-        vm_ref[...] = jnp.zeros_like(vm_ref)
+        for r in (qc_ref, qm_ref, kc_ref, km_ref, vc_ref, vm_ref):
+            r[...] = jnp.zeros_like(r)
 
 
-def _unpool_kernel(
-    *refs,
-    gs, gc, u, cs, masked: bool,
-):
+def _unpool_kernel(*refs, window, d, u, cs, masked: bool):
+    wt, wh, ww = window
+    gs = wt * wh * ww
     it = iter(refs)
     active_ref = next(it) if masked else None
-    q_ref, c_ref, m_ref, out_ref = next(it), next(it), next(it), next(it)
+    q_refs = [next(it) for _ in range(wh)]
+    c_ref, m_ref = next(it), next(it)
+    out_refs = [next(it) for _ in range(wh)]
 
     def body():
-        q_all = q_ref[0, 0].astype(jnp.float32)
+        q_all = _stack_slots(q_refs, window, d)
         picks = _matching_3d(q_all, gs, u, cs)  # (u, gs, Gc, 1)
 
-        centers = c_ref[0, 0].astype(jnp.float32)  # (Gc, D)
-        kept = m_ref[0, 0].astype(jnp.float32)  # (u, Gc, D)
-        val = jnp.zeros((gs,) + centers.shape, jnp.float32)
-        mask = jnp.zeros((gs, centers.shape[0], 1), jnp.float32)
-        for i in range(u):
-            val = val + picks[i] * kept[i][None]
-            mask = mask + picks[i]
-        val = val + (1.0 - mask) * centers[None]
-        out_ref[0, 0] = val.astype(out_ref.dtype)
+        h3, w2c = c_ref.shape[3], c_ref.shape[4]
+        centers = c_ref[0, 0, 0].reshape(h3 * w2c, d).astype(jnp.float32)
+        kept_rows = m_ref[0, 0, 0].reshape(h3 * w2c, u * d).astype(jnp.float32)
+        for ti in range(wt):
+            for hi in range(wh):
+                lanes = []
+                for wi in range(ww):
+                    s = ti * wh * ww + hi * ww + wi
+                    val = jnp.zeros_like(centers)
+                    mask = jnp.zeros((centers.shape[0], 1), jnp.float32)
+                    for i in range(u):
+                        p = picks[i, s]  # (Gc, 1)
+                        val = val + p * kept_rows[:, i * d : (i + 1) * d]
+                        mask = mask + p
+                    lanes.append(val + (1.0 - mask) * centers)
+                slab = jnp.concatenate(lanes, axis=-1)  # (Gc, ww*D)
+                out_refs[hi][0, 0, 0, ti] = slab.reshape(
+                    h3, w2c, ww * d
+                ).astype(out_refs[hi].dtype)
+
+    def zero():
+        for r in out_refs:
+            r[...] = jnp.zeros_like(r)
 
     if not masked:
         body()
@@ -170,27 +187,39 @@ def _unpool_kernel(
 
     @pl.when(active_ref[g] == 0)
     def _skip():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        zero()
 
 
 def _shapes(x, groups: LowresGroups):
     geom = _geom(groups)
     t, hh, w = geom.latent_shape
-    wt, wh, ww = geom.window
     b, h, s, d = x.shape
     if s != t * hh * w:
         raise ValueError(f"seq len {s} != prod(latent_shape) {geom.latent_shape}")
-    return geom, (t, hh, w), (wt, wh, ww), (b, h, d)
+    return geom, (b, h, d)
 
 
-def _cell_split(g: int, gs: int, d: int, itemsize: int) -> int:
-    """Groups per grid cell, bounding the 3-tensor VMEM block near ~8 MB;
-    8-aligned so the (Gc, D) tiles stay clean (full g as fallback)."""
-    budget = max(8, 8 * 2**20 // (3 * gs * d * max(itemsize, 2)))
-    for gc in range(min(g, budget), 7, -1):
-        if g % gc == 0 and gc % 8 == 0:
-            return gc
-    return g
+def _cell_plan(geom, d: int, u: int, itemsize: int):
+    """(T2, H3, W2, W2c): one grid cell covers (wt, H3, 1-of-wh, W2c) with
+    the w-group dim split just enough to keep the live VMEM near ~48 MB."""
+    t, hh, w = geom.latent_shape
+    wt, wh, ww = geom.window
+    t2, h3, w2 = t // wt, hh // wh, w // ww
+    gs = wt * wh * ww
+
+    def est(w2c):
+        gc = h3 * w2c
+        inb = 3 * wh * wt * gc * ww * d * max(itemsize, 2) * 2  # dbuf blocks
+        stack = 3 * gs * gc * d * 4
+        outb = 3 * gc * (1 + u) * d * max(itemsize, 2) * 2
+        return inb + stack + outb
+
+    w2c = w2
+    for cand in sorted((c for c in range(1, w2 + 1) if w2 % c == 0), reverse=True):
+        if est(cand) < 48 * 2**20:
+            w2c = cand
+            break
+    return t2, h3, w2, w2c
 
 
 def pool_qkv(
@@ -207,58 +236,58 @@ def pool_qkv(
     matching/selection compute and emit zeros (their rows are expected to
     be masked out of the downstream pooled attention anyway).
     """
-    geom, _, _, (b, h, d) = _shapes(q, groups)
+    geom, (b, h, d) = _shapes(q, groups)
+    wt, wh, ww = geom.window
     u = groups.num_kept_margins
     g = groups.num_groups
-    gs = groups.group_size
     cs = geom.center_slot
-    gc = _cell_split(g, gs, d, q.dtype.itemsize)
-    n_cells = g // gc
+    t2, h3, w2, w2c = _cell_plan(geom, d, u, q.dtype.itemsize)
+    ns = w2 // w2c
     masked = active is not None
 
     kernel = functools.partial(
-        _pool_kernel, gs=gs, gc=gc, u=u, cs=cs, kv_from_k=kv_matching_from_k,
-        masked=masked,
+        _pool_kernel, window=geom.window, d=d, u=u, cs=cs,
+        kv_from_k=kv_matching_from_k, masked=masked,
     )
 
-    def in_map(bb, hh_, i, *refs):
-        return (bb, hh_, 0, i, 0)
+    def in_map(hi, bb, hh_, i, *refs):
+        return (bb, hh_, i // ns, 0, 0, hi, i % ns, 0)
 
-    def c_map(bb, hh_, i, *refs):
-        return (bb, hh_, i, 0)
+    def out_map(bb, hh_, i, *refs):
+        return (bb, hh_, i // ns, 0, i % ns, 0)
 
-    qg = _to_slot_major(q, geom)
-    kg = _to_slot_major(k, geom)
-    vg = _to_slot_major(v, geom)
+    # free views: raster (B,H,S,D) -> (B,H,T2,wt,H3,wh,W2,ww*D)
+    def view(x):
+        return x.reshape(b, h, t2, wt, h3, wh, w2, ww * d)
+
+    in_block = (1, 1, 1, wt, h3, 1, w2c, ww * d)
+    in_specs, inputs = [], []
+    for x in (q, k, v):
+        xv = view(x)
+        for hi in range(wh):
+            in_specs.append(pl.BlockSpec(in_block, functools.partial(in_map, hi)))
+            inputs.append(xv)
 
     out_shapes, out_specs = [], []
     for _ in range(3):
         out_shapes += [
-            jax.ShapeDtypeStruct((b, h, g, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, u, g, d), q.dtype),  # slot-major kept
+            jax.ShapeDtypeStruct((b, h, t2, h3, w2, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t2, h3, w2, u * d), q.dtype),
         ]
         out_specs += [
-            pl.BlockSpec((1, 1, gc, d), c_map),
-            pl.BlockSpec((1, 1, u, gc, d), in_map),
+            pl.BlockSpec((1, 1, 1, h3, w2c, d), out_map),
+            pl.BlockSpec((1, 1, 1, h3, w2c, u * d), out_map),
         ]
 
-    in_specs = [pl.BlockSpec((1, 1, gs, gc, d), in_map)] * 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1 if masked else 0,
+        grid=(b, h, t2 * ns),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    call_args = tuple(inputs)
     if masked:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, h, n_cells),
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
-        call_args = (active.astype(jnp.int32), qg, kg, vg)
-    else:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=0,
-            grid=(b, h, n_cells),
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
-        call_args = (qg, kg, vg)
+        call_args = (active.astype(jnp.int32),) + call_args
 
     outs = pl.pallas_call(
         kernel,
@@ -266,15 +295,16 @@ def pool_qkv(
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=80 * 2**20,
         ),
         interpret=interpret,
     )(*call_args)
 
     def finish(c, m):
-        # (B,H,U,G,D) slot-major kept -> group-major (B,H,G*U,D)
-        mm = m.transpose(0, 1, 3, 2, 4).reshape(b, h, g * u, d)
-        return jnp.concatenate([c, mm], axis=2)
+        # (B,H,T2,H3,W2,·) raster-group blocks -> pooled rows, all free views
+        centers = c.reshape(b, h, g, d)
+        margins = m.reshape(b, h, g * u, d)  # (g, u, d) order = group-major
+        return jnp.concatenate([centers, margins], axis=2)
 
     qc, qm, kc, km, vc, vm = outs
     return finish(qc, qm), finish(kc, km), finish(vc, vm)
@@ -289,55 +319,66 @@ def unpool(
 
     ``active``: optional (H,) participation mask — inactive heads skip the
     matching compute and write zeros."""
-    geom, _, _, (b, h, d) = _shapes(q, groups)
+    geom, (b, h, d) = _shapes(q, groups)
+    wt, wh, ww = geom.window
     u = groups.num_kept_margins
     g = groups.num_groups
-    gs = groups.group_size
     cs = geom.center_slot
-    gc = _cell_split(g, gs, d, q.dtype.itemsize)
-    n_cells = g // gc
+    t2, h3, w2, w2c = _cell_plan(geom, d, u, q.dtype.itemsize)
+    ns = w2 // w2c
     masked = active is not None
 
     kernel = functools.partial(
-        _unpool_kernel, gs=gs, gc=gc, u=u, cs=cs, masked=masked,
+        _unpool_kernel, window=geom.window, d=d, u=u, cs=cs, masked=masked,
     )
-    centers = pooled_out[:, :, :g]
-    kept = (
-        pooled_out[:, :, g:]
-        .reshape(b, h, g, u, d)
-        .transpose(0, 1, 3, 2, 4)  # slot-major kept for plain leading index
-    )
-    qg = _to_slot_major(q, geom)
+    # free views of the group-major pooled rows
+    centers = pooled_out[:, :, :g].reshape(b, h, t2, h3, w2, d)
+    kept = pooled_out[:, :, g : g * (1 + u)].reshape(b, h, t2, h3, w2, u * d)
+    qv = q.reshape(b, h, t2, wt, h3, wh, w2, ww * d)
 
-    def in_map(bb, hh_, i, *refs):
-        return (bb, hh_, 0, i, 0)
+    def in_map(hi, bb, hh_, i, *refs):
+        return (bb, hh_, i // ns, 0, 0, hi, i % ns, 0)
 
     def c_map(bb, hh_, i, *refs):
-        return (bb, hh_, i, 0)
+        return (bb, hh_, i // ns, 0, i % ns, 0)
 
+    def o_map(bb, hh_, i, *refs):
+        return (bb, hh_, i // ns, 0, 0, i % ns, 0)
+
+    in_block = (1, 1, 1, wt, h3, 1, w2c, ww * d)
     in_specs = [
-        pl.BlockSpec((1, 1, gs, gc, d), in_map),
-        pl.BlockSpec((1, 1, gc, d), c_map),
-        pl.BlockSpec((1, 1, u, gc, d), in_map),
+        pl.BlockSpec(in_block, functools.partial(in_map, hi)) for hi in range(wh)
+    ] + [
+        pl.BlockSpec((1, 1, 1, h3, w2c, d), c_map),
+        pl.BlockSpec((1, 1, 1, h3, w2c, u * d), c_map),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, h, t2, wt, h3, w2, ww * d), pooled_out.dtype)
+        for _ in range(wh)
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, 1, wt, h3, w2c, ww * d), o_map) for _ in range(wh)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1 if masked else 0,
-        grid=(b, h, n_cells),
+        grid=(b, h, t2 * ns),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, gs, gc, d), in_map),
+        out_specs=out_specs,
     )
-    call_args = (qg, centers, kept)
+    call_args = tuple([qv] * wh) + (centers, kept)
     if masked:
         call_args = (active.astype(jnp.int32),) + call_args
 
-    out_sm = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, gs, g, d), pooled_out.dtype),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=80 * 2**20,
         ),
         interpret=interpret,
     )(*call_args)
-    return _from_slot_major(out_sm, geom)
+    # (B,H,T2,wt,H3,W2,ww*D) per wh plane -> raster (B,H,S,D)
+    full = jnp.stack(outs, axis=5)  # (B,H,T2,wt,H3,wh,W2,ww*D)
+    return full.reshape(b, h, t2 * wt * h3 * wh * w2 * ww, d)
