@@ -76,6 +76,36 @@ def test_masked_heads_match_unmasked_and_zero():
     assert np.abs(np.asarray(out)[:, 1]).max() == 0
 
 
+def test_headmap_matches_plain_on_routed_heads():
+    """head_map mode: routed heads' rows equal the plain all-head pool;
+    non-routed rows are unspecified (callers mask them)."""
+    groups = build_lowres_groups(LATENT, WINDOW)
+    b, h, d = 1, 4, 32
+    s = int(np.prod(LATENT))
+    q, k, v = _mk((b, h, s, d), 10), _mk((b, h, s, d), 11), _mk((b, h, s, d), 12)
+    routed = [1, 3]  # heads routed to lowres
+    n_act = jnp.asarray(len(routed), jnp.int32)
+    head_map = jnp.asarray([1, 3, 3, 3], jnp.int32)  # packed + repeat-last pad
+
+    pq, pk, pv = pool_qkv(q, k, v, groups, head_map=head_map, num_active=n_act,
+                          interpret=True)
+    rq, rk, rv = pool_qkv(q, k, v, groups, interpret=True)
+    for got, ref in ((pq, rq), (pk, rk), (pv, rv)):
+        for hh in routed:
+            np.testing.assert_allclose(np.asarray(got)[:, hh],
+                                       np.asarray(ref)[:, hh],
+                                       rtol=1e-6, atol=1e-6)
+
+    attn_out = _mk((b, h, groups.pooled_length, d), 13)
+    out = unpool(attn_out, q, groups, head_map=head_map, num_active=n_act,
+                 interpret=True)
+    ref_out = unpool(attn_out, q, groups, interpret=True)
+    for hh in routed:
+        np.testing.assert_allclose(np.asarray(out)[:, hh],
+                                   np.asarray(ref_out)[:, hh],
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_pool_unpool_roundtrip_keeps_selected():
     """Kept tokens and centers survive a pool->unpool round trip."""
     groups = build_lowres_groups(LATENT, WINDOW)

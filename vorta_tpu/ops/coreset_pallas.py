@@ -91,11 +91,16 @@ def _stack_slots(hi_refs, window, d):
     return jnp.stack(tiles, axis=0).astype(jnp.float32)  # (gs, Gc, D)
 
 
-def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, masked: bool):
+def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, mode: str):
     wt, wh, ww = window
     gs = wt * wh * ww
     it = iter(refs)
-    active_ref = next(it) if masked else None  # (H,) i32 scalar prefetch
+    active_ref = hm_ref = na_ref = None
+    if mode == "active":
+        active_ref = next(it)  # (H,) i32 scalar prefetch
+    elif mode == "headmap":
+        hm_ref = next(it)  # (H,) i32 packed active head ids (pad: repeat last)
+        na_ref = next(it)  # (1,) i32 active count
     q_refs = [next(it) for _ in range(wh)]
     k_refs = [next(it) for _ in range(wh)]
     v_refs = [next(it) for _ in range(wh)]
@@ -123,8 +128,19 @@ def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, masked: bool):
         emit(k_all, picks_kv, kc_ref, km_ref)
         emit(v_all, picks_kv, vc_ref, vm_ref)
 
-    if not masked:
+    if mode == "plain":
         body()
+        return
+    if mode == "headmap":
+        # padded grid positions revisit the last active head's blocks: their
+        # input DMAs are elided (unchanged block index) and the untouched
+        # output buffer re-flushes the same values — so they must NOT write
+        hh = pl.program_id(2)
+
+        @pl.when(hh < na_ref[0])
+        def _active_hm():
+            body()
+
         return
     g = pl.program_id(1)
 
@@ -139,11 +155,16 @@ def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, masked: bool):
             r[...] = jnp.zeros_like(r)
 
 
-def _unpool_kernel(*refs, window, d, u, cs, masked: bool):
+def _unpool_kernel(*refs, window, d, u, cs, mode: str):
     wt, wh, ww = window
     gs = wt * wh * ww
     it = iter(refs)
-    active_ref = next(it) if masked else None
+    active_ref = hm_ref = na_ref = None
+    if mode == "active":
+        active_ref = next(it)
+    elif mode == "headmap":
+        hm_ref = next(it)
+        na_ref = next(it)
     q_refs = [next(it) for _ in range(wh)]
     c_ref, m_ref = next(it), next(it)
     out_refs = [next(it) for _ in range(wh)]
@@ -176,8 +197,16 @@ def _unpool_kernel(*refs, window, d, u, cs, masked: bool):
         for r in out_refs:
             r[...] = jnp.zeros_like(r)
 
-    if not masked:
+    if mode == "plain":
         body()
+        return
+    if mode == "headmap":
+        hh = pl.program_id(2)
+
+        @pl.when(hh < na_ref[0])
+        def _active_hm():
+            body()
+
         return
     g = pl.program_id(1)
 
@@ -222,9 +251,21 @@ def _cell_plan(geom, d: int, u: int, itemsize: int):
     return t2, h3, w2, w2c
 
 
+def _mode_plan(active, head_map, num_active):
+    if head_map is not None:
+        if num_active is None:
+            raise ValueError("head_map requires num_active")
+        if active is not None:
+            raise ValueError("head_map and active are mutually exclusive")
+        return "headmap"
+    return "active" if active is not None else "plain"
+
+
 def pool_qkv(
     q: jax.Array, k: jax.Array, v: jax.Array, groups: LowresGroups,
     *, kv_matching_from_k: bool = False, active: Optional[jax.Array] = None,
+    head_map: Optional[jax.Array] = None,
+    num_active: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pool (B,H,S,D) q/k/v to (B,H,P,D) in one fused kernel pass.
@@ -235,6 +276,16 @@ def pool_qkv(
     ``active``: optional (H,) participation mask — inactive heads skip all
     matching/selection compute and emit zeros (their rows are expected to
     be masked out of the downstream pooled attention anyway).
+
+    ``head_map``/``num_active``: head-scaled mode — head_map is a traced
+    (H,) i32 with the routed head ids packed first and the LAST routed id
+    repeated as padding; num_active is the routed count.  The head grid dim
+    moves innermost with "arbitrary" semantics, so every padded position
+    revisits the last routed head's blocks: Pallas elides the unchanged
+    input DMAs and output flushes, making data movement AND compute scale
+    with the routed head count.  Output rows of heads NOT in head_map are
+    UNINITIALIZED — callers must mask downstream (see
+    ops/routed_fused.lowres_all_batched).
     """
     geom, (b, h, d) = _shapes(q, groups)
     wt, wh, ww = geom.window
@@ -243,18 +294,33 @@ def pool_qkv(
     cs = geom.center_slot
     t2, h3, w2, w2c = _cell_plan(geom, d, u, q.dtype.itemsize)
     ns = w2 // w2c
-    masked = active is not None
+    mode = _mode_plan(active, head_map, num_active)
 
     kernel = functools.partial(
         _pool_kernel, window=geom.window, d=d, u=u, cs=cs,
-        kv_from_k=kv_matching_from_k, masked=masked,
+        kv_from_k=kv_matching_from_k, mode=mode,
     )
 
-    def in_map(hi, bb, hh_, i, *refs):
-        return (bb, hh_, i // ns, 0, 0, hi, i % ns, 0)
+    if mode == "headmap":
 
-    def out_map(bb, hh_, i, *refs):
-        return (bb, hh_, i // ns, 0, i % ns, 0)
+        def in_map(hi, bb, i, hh_, hm, na):
+            return (bb, hm[hh_], i // ns, 0, 0, hi, i % ns, 0)
+
+        def out_map(bb, i, hh_, hm, na):
+            return (bb, hm[hh_], i // ns, 0, i % ns, 0)
+
+        grid = (b, t2 * ns, h)
+        semantics = ("parallel", "arbitrary", "arbitrary")
+    else:
+
+        def in_map(hi, bb, hh_, i, *refs):
+            return (bb, hh_, i // ns, 0, 0, hi, i % ns, 0)
+
+        def out_map(bb, hh_, i, *refs):
+            return (bb, hh_, i // ns, 0, i % ns, 0)
+
+        grid = (b, h, t2 * ns)
+        semantics = ("parallel", "parallel", "parallel")
 
     # free views: raster (B,H,S,D) -> (B,H,T2,wt,H3,wh,W2,ww*D)
     def view(x):
@@ -279,26 +345,32 @@ def pool_qkv(
             pl.BlockSpec((1, 1, 1, h3, w2c, u * d), out_map),
         ]
 
+    if mode == "headmap":
+        prefetch = (
+            head_map.astype(jnp.int32),
+            jnp.asarray(num_active, jnp.int32).reshape(1),
+        )
+    elif mode == "active":
+        prefetch = (active.astype(jnp.int32),)
+    else:
+        prefetch = ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1 if masked else 0,
-        grid=(b, h, t2 * ns),
+        num_scalar_prefetch=len(prefetch),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
     )
-    call_args = tuple(inputs)
-    if masked:
-        call_args = (active.astype(jnp.int32),) + call_args
 
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=80 * 2**20,
         ),
         interpret=interpret,
-    )(*call_args)
+    )(*prefetch, *inputs)
 
     def finish(c, m):
         # (B,H,T2,H3,W2,·) raster-group blocks -> pooled rows, all free views
@@ -312,13 +384,19 @@ def pool_qkv(
 
 def unpool(
     pooled_out: jax.Array, q: jax.Array, groups: LowresGroups,
-    *, active: Optional[jax.Array] = None, interpret: bool = False,
+    *, active: Optional[jax.Array] = None,
+    head_map: Optional[jax.Array] = None,
+    num_active: Optional[jax.Array] = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """Scatter a pooled (B,H,P,D) attention output back to (B,H,S,D),
     re-deriving Q's matching in-kernel (bitwise-identical arithmetic).
 
     ``active``: optional (H,) participation mask — inactive heads skip the
-    matching compute and write zeros."""
+    matching compute and write zeros.
+
+    ``head_map``/``num_active``: head-scaled mode (see pool_qkv) — rows of
+    heads not in head_map come back UNINITIALIZED; callers mask them."""
     geom, (b, h, d) = _shapes(q, groups)
     wt, wh, ww = geom.window
     u = groups.num_kept_margins
@@ -326,24 +404,42 @@ def unpool(
     cs = geom.center_slot
     t2, h3, w2, w2c = _cell_plan(geom, d, u, q.dtype.itemsize)
     ns = w2 // w2c
-    masked = active is not None
+    mode = _mode_plan(active, head_map, num_active)
 
     kernel = functools.partial(
-        _unpool_kernel, window=geom.window, d=d, u=u, cs=cs, masked=masked,
+        _unpool_kernel, window=geom.window, d=d, u=u, cs=cs, mode=mode,
     )
     # free views of the group-major pooled rows
     centers = pooled_out[:, :, :g].reshape(b, h, t2, h3, w2, d)
     kept = pooled_out[:, :, g : g * (1 + u)].reshape(b, h, t2, h3, w2, u * d)
     qv = q.reshape(b, h, t2, wt, h3, wh, w2, ww * d)
 
-    def in_map(hi, bb, hh_, i, *refs):
-        return (bb, hh_, i // ns, 0, 0, hi, i % ns, 0)
+    if mode == "headmap":
 
-    def c_map(bb, hh_, i, *refs):
-        return (bb, hh_, i // ns, 0, i % ns, 0)
+        def in_map(hi, bb, i, hh_, hm, na):
+            return (bb, hm[hh_], i // ns, 0, 0, hi, i % ns, 0)
 
-    def o_map(bb, hh_, i, *refs):
-        return (bb, hh_, i // ns, 0, 0, i % ns, 0)
+        def c_map(bb, i, hh_, hm, na):
+            return (bb, hm[hh_], i // ns, 0, i % ns, 0)
+
+        def o_map(bb, i, hh_, hm, na):
+            return (bb, hm[hh_], i // ns, 0, 0, i % ns, 0)
+
+        grid = (b, t2 * ns, h)
+        semantics = ("parallel", "arbitrary", "arbitrary")
+    else:
+
+        def in_map(hi, bb, hh_, i, *refs):
+            return (bb, hh_, i // ns, 0, 0, hi, i % ns, 0)
+
+        def c_map(bb, hh_, i, *refs):
+            return (bb, hh_, i // ns, 0, i % ns, 0)
+
+        def o_map(bb, hh_, i, *refs):
+            return (bb, hh_, i // ns, 0, 0, i % ns, 0)
+
+        grid = (b, h, t2 * ns)
+        semantics = ("parallel", "parallel", "parallel")
 
     in_block = (1, 1, 1, wt, h3, 1, w2c, ww * d)
     in_specs = [
@@ -359,26 +455,32 @@ def unpool(
     out_specs = [
         pl.BlockSpec((1, 1, 1, wt, h3, w2c, ww * d), o_map) for _ in range(wh)
     ]
+    if mode == "headmap":
+        prefetch = (
+            head_map.astype(jnp.int32),
+            jnp.asarray(num_active, jnp.int32).reshape(1),
+        )
+    elif mode == "active":
+        prefetch = (active.astype(jnp.int32),)
+    else:
+        prefetch = ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1 if masked else 0,
-        grid=(b, h, t2 * ns),
+        num_scalar_prefetch=len(prefetch),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
     )
-    call_args = tuple([qv] * wh) + (centers, kept)
-    if masked:
-        call_args = (active.astype(jnp.int32),) + call_args
 
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=semantics,
             vmem_limit_bytes=80 * 2**20,
         ),
         interpret=interpret,
-    )(*call_args)
+    )(*prefetch, *[qv] * wh, centers, kept)
     # (B,H,T2,wt,H3,W2,ww*D) per wh plane -> raster (B,H,S,D)
     full = jnp.stack(outs, axis=5)  # (B,H,T2,wt,H3,wh,W2,ww*D)
     return full.reshape(b, h, t2 * wt * h3 * wh * w2 * ww, d)

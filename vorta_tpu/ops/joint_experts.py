@@ -227,8 +227,18 @@ def joint_lowres_attention(
     # fused Pallas pool; hunyuan keys get their own matching (hunyuan.py:433-438)
     from .coreset_pallas import pool_qkv, unpool as unpool_pallas
 
+    hm_kw = {}
+    if active is not None:
+        # head-scaled pool: DMA + matching run only for the routed heads
+        # (padded grid positions revisit the last routed head's blocks);
+        # non-routed pooled rows are uninitialized but their attention
+        # counts are zeroed below and the unpooled rows masked at the end
+        n_act = jnp.maximum(jnp.sum(active.astype(jnp.int32)), 1)
+        order = jnp.argsort(~active)
+        hm = jnp.take(order, jnp.minimum(jnp.arange(h), n_act - 1))
+        hm_kw = dict(head_map=hm, num_active=n_act)
     pq, pk, pv = pool_qkv(qv, kv_, vv, groups, kv_matching_from_k=True,
-                          interpret=interpret)
+                          interpret=interpret, **hm_kw)
     q = _assemble(pq, qt, layout)
     k = _assemble(pk, kt, layout)
     v = _assemble(pv, vt, layout)
@@ -244,7 +254,10 @@ def joint_lowres_attention(
     )
     pooled_out, text_out = _split(out, layout, groups.pooled_length, jcfg.text_len)
     video_out = unpool_pallas(pooled_out, qv, groups,
-                              interpret=interpret).astype(qv.dtype)
+                              interpret=interpret, **hm_kw).astype(qv.dtype)
+    if active is not None:
+        # non-routed heads' unpool rows are uninitialized in head-map mode
+        video_out = jnp.where(active[None, :, None, None], video_out, 0)
     return video_out, text_out
 
 

@@ -19,6 +19,7 @@ faster.  Routing stays traced data — same compiled program every step.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -246,11 +247,8 @@ def fused_routed_attention(
         return unpool(out_p, qh, groups, interpret=interpret).astype(q.dtype)
 
     def lowres_all_perhead():
-        # Per-HEAD cond, NOT a batched masked chain: a fused all-head
-        # pool/attend/unpool was measured SLOWER at the trained mix (59.6
-        # vs 54.5 ms mixed-5L7S at 720p) because BlockSpec streams pool
-        # slabs for inactive heads too — pooling DMA scales with all H
-        # while the cond path only moves the routed heads' data.
+        # Per-HEAD cond: only the routed heads' data moves, at the cost of
+        # 3 kernel launches per routed head plus a 12-way concat.
         def one_head(hh):
             return jax.lax.cond(
                 expert_id[hh] == LOWRES,
@@ -266,9 +264,35 @@ def fused_routed_attention(
             [one_head(hh) for hh in range(q.shape[1])], axis=1
         )
 
-    if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
-        import os
+    def lowres_all_batched():
+        # ONE pool + attend + unpool over all heads, with pool/unpool DMA
+        # and compute scaled to the routed head count via a traced packed
+        # head_map (padded grid positions revisit the last routed head's
+        # blocks, so Pallas elides their copies).  Earlier all-head batched
+        # chains lost to per-head conds (59.6 vs 54.5 ms mixed-5L7S)
+        # precisely because pool DMA covered all H; head_map removes that.
+        from .coreset_pallas import pool_qkv, unpool
 
+        h = q.shape[1]
+        lh = expert_id == LOWRES
+        n_act = jnp.maximum(jnp.sum(lh.astype(jnp.int32)), 1)
+        order = jnp.argsort(~lh)  # routed heads first, stable
+        head_map = jnp.take(order, jnp.minimum(jnp.arange(h), n_act - 1))
+        pq, pk, pv = pool_qkv(
+            q, k, v, groups, head_map=head_map, num_active=n_act,
+            interpret=interpret,
+        )
+        out_p = _masked_call(
+            geo.lowres, pq, pk, pv, lh, geo.tokens_per_tile, scale, interpret,
+        )[:, :, : groups.pooled_length]
+        up = unpool(
+            out_p, q, groups, head_map=head_map, num_active=n_act,
+            interpret=interpret,
+        ).astype(q.dtype)
+        # heads outside head_map come back uninitialized — mask them out
+        return jnp.where(lh[None, :, None, None], up, 0)
+
+    if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
         if os.environ.get("VORTA_ROUTED_DISPATCH", "masked") == "masked":
             # one launch per EXPERT instead of one per head: the v6 STA
             # kernel skips compute for inactive heads (their slab streams
@@ -288,7 +312,11 @@ def fused_routed_attention(
                     geo.tokens_per_tile, scale, interpret,
                 )[:, :, :s]
 
-            lowres_all = lowres_all_perhead
+            lowres_all = (
+                lowres_all_perhead
+                if os.environ.get("VORTA_LOWRES_DISPATCH") == "perhead"
+                else lowres_all_batched
+            )
 
             def guard(e, branch):
                 return jax.lax.cond(
@@ -343,7 +371,9 @@ def fused_routed_attention(
         )[:, :, :s]
 
     def lowres_branch():
-        return lowres_all_perhead()
+        if os.environ.get("VORTA_LOWRES_DISPATCH") == "perhead":
+            return lowres_all_perhead()
+        return lowres_all_batched()
 
     def sta_branch():
         # only reached when prefer_window_dense() was False above, so this
