@@ -27,7 +27,8 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--which", default="both", choices=["both", "xla", "pallas"])
-    ap.add_argument("--stage", default="both", choices=["both", "pool", "copy"])
+    ap.add_argument("--stage", default="both",
+                    choices=["both", "pool", "copy", "headmap5", "headmap12"])
     args = ap.parse_args()
     attn = AttentionConfig(latent_shape=(20, 45, 80), sta_window=(3, 3, 3),
                            sta_tile=(5, 9, 8), lowres_window=(2, 3, 2),
@@ -120,6 +121,17 @@ def main():
         if args.stage == "copy":
             return copy_probe(i, q, k, v)
         qq = q * (1 + 0.001 * i.astype(jnp.bfloat16))
+        if args.stage.startswith("headmap"):
+            n = int(args.stage[len("headmap"):])
+            h = q.shape[1]
+            hm = jnp.minimum(jnp.arange(h), n - 1).astype(jnp.int32)
+            pq, pk, pv = pool_qkv(qq, k, v, groups, head_map=hm,
+                                  num_active=jnp.asarray(n, jnp.int32))
+            up = unpool(pq + pk + pv, qq, groups, head_map=hm,
+                        num_active=jnp.asarray(n, jnp.int32))
+            return sum(jnp.where(jnp.arange(h)[None, :, None, None] < n, x, 0)
+                       .astype(jnp.float32).mean()
+                       for x in (up,))
         pq, pk, pv = pool_qkv(qq, k, v, groups)
         if args.stage == "pool":
             return (pq.astype(jnp.float32).mean()

@@ -265,12 +265,15 @@ def fused_routed_attention(
         )
 
     def lowres_all_batched():
-        # ONE pool + attend + unpool over all heads, with pool/unpool DMA
-        # and compute scaled to the routed head count via a traced packed
-        # head_map (padded grid positions revisit the last routed head's
-        # blocks, so Pallas elides their copies).  Earlier all-head batched
-        # chains lost to per-head conds (59.6 vs 54.5 ms mixed-5L7S)
-        # precisely because pool DMA covered all H; head_map removes that.
+        # ONE pool + attend + unpool over all heads with a traced packed
+        # head_map intended to elide padded positions' DMA via block
+        # revisiting.  MEASURED NEGATIVE on v5e: headmap@5-of-12 heads
+        # (16.6 ms chain) == headmap@12 (15.6) == plain (16.0) — the legacy
+        # PrefetchScalarGridSpec pipeline does not elide copies when the
+        # index map depends on prefetched scalars, so DMA does NOT scale
+        # with the routed head count and mixed-5L7S measured 58.7 ms vs
+        # 54.5 for the per-head cond path (which truly moves only routed
+        # heads' data).  Kept selectable for future pipeline versions.
         from .coreset_pallas import pool_qkv, unpool
 
         h = q.shape[1]
@@ -313,9 +316,9 @@ def fused_routed_attention(
                 )[:, :, :s]
 
             lowres_all = (
-                lowres_all_perhead
-                if os.environ.get("VORTA_LOWRES_DISPATCH") == "perhead"
-                else lowres_all_batched
+                lowres_all_batched
+                if os.environ.get("VORTA_LOWRES_DISPATCH") == "batched"
+                else lowres_all_perhead
             )
 
             def guard(e, branch):
@@ -371,9 +374,9 @@ def fused_routed_attention(
         )[:, :, :s]
 
     def lowres_branch():
-        if os.environ.get("VORTA_LOWRES_DISPATCH") == "perhead":
-            return lowres_all_perhead()
-        return lowres_all_batched()
+        if os.environ.get("VORTA_LOWRES_DISPATCH") == "batched":
+            return lowres_all_batched()
+        return lowres_all_perhead()
 
     def sta_branch():
         # only reached when prefer_window_dense() was False above, so this
