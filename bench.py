@@ -77,6 +77,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geom", default="720p", choices=["720p", "480p"],
                     help="480p variant reported for the routed-not-slower check")
+    ap.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
+                    help="int8: opt-in W8A8 serving mode for FFN/projections "
+                         "(ops/qmm.py) — secondary number, primary stays bf16")
     args = ap.parse_args()
     interpret = jax.default_backend() != "tpu"
     if interpret:
@@ -142,7 +145,8 @@ def main():
     def fwd(c, i, rstate, fstate, lat, ctx, mode):
         m = nnx.merge(graphdef, rstate, fstate)
         t = jnp.full((b,), 500.0) + i.astype(jnp.float32)  # vary per iter
-        out = m(lat, t, ctx, attn_cfg=attn, routing_mode=mode)
+        out = m(lat, t, ctx, attn_cfg=attn, routing_mode=mode,
+                mm_precision=args.mm)
         return c + out.sample.astype(jnp.float32).mean()
 
     big = (frozen_state, latents, context)
@@ -152,7 +156,8 @@ def main():
         lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"), router_state, *big)
 
     result = {
-        "metric": f"wan1.3b_{args.geom}_77f_denoise_fwd_ms_routed",
+        "metric": f"wan1.3b_{args.geom}_77f_denoise_fwd_ms_routed"
+                  + ("_int8" if args.mm == "int8" else ""),
         "value": round(routed_s * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(full_s / routed_s, 4),

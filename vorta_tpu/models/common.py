@@ -104,11 +104,16 @@ class TimestepEmbedding(nnx.Module):
 
 
 class GELUFeedForward(nnx.Module):
-    """linear -> tanh-approx gelu -> linear (diffusers FeedForward 'gelu-approximate')."""
+    """linear -> tanh-approx gelu -> linear (diffusers FeedForward 'gelu-approximate').
+
+    Projections are QLinear: identical params to nnx.Linear, but obey the
+    ops.qmm.mm_precision() context (opt-in int8 serving mode)."""
 
     def __init__(self, dim: int, inner_dim: int, *, dtype=jnp.float32, param_dtype=jnp.float32, rngs: nnx.Rngs):
-        self.proj_in = nnx.Linear(dim, inner_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
-        self.proj_out = nnx.Linear(inner_dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        from ..ops.qmm import QLinear
+
+        self.proj_in = QLinear(dim, inner_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.proj_out = QLinear(inner_dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.proj_out(jax.nn.gelu(self.proj_in(x), approximate=True))

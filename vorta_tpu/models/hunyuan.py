@@ -34,6 +34,7 @@ from ..config import AttentionConfig
 from ..ops.attention_ref import attention_dense
 from ..ops.joint_experts import JointConfig, routed_joint_attention
 from ..ops.rope import apply_rope
+from ..ops.qmm import QLinear
 from .common import FP32LayerNorm, GELUFeedForward, TimestepEmbedding, sinusoidal_timestep_embedding
 from .router import Router
 
@@ -189,9 +190,11 @@ class HunyuanJointAttention(nnx.Module):
         dim = cfg.dim
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.num_heads = cfg.num_heads
-        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
+        # video-length projections obey the int8 mm context (ops.qmm);
+        # text-side (add_*, to_add_out) are sequence-256 — kept bf16
+        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_k = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_v = QLinear(dim, dim, use_bias=True, **kw)
         self.add_q_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
         self.add_k_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
         self.add_v_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
@@ -199,7 +202,7 @@ class HunyuanJointAttention(nnx.Module):
         self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
         self.norm_added_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
         self.norm_added_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
-        self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_out = QLinear(dim, dim, use_bias=True, **kw)
         self.to_add_out = nnx.Linear(dim, dim, use_bias=True, **kw)
 
     def __call__(self, x, ctx, rope, text_mask, jcfg, scores, routing_mode,
@@ -235,9 +238,9 @@ class HunyuanSingleAttention(nnx.Module):
         dim = cfg.dim
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.num_heads = cfg.num_heads
-        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_k = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_v = QLinear(dim, dim, use_bias=True, **kw)
         self.norm_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
         self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
 
@@ -342,8 +345,8 @@ class HunyuanSingleBlock(nnx.Module):
         self.norm_mod = AdaLNModulation(dim, 3, **kw)
         self.norm = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
         self.attn = HunyuanSingleAttention(cfg, **kw)
-        self.proj_mlp = nnx.Linear(dim, mlp, **kw)
-        self.proj_out = nnx.Linear(dim + mlp, dim, **kw)
+        self.proj_mlp = QLinear(dim, mlp, **kw)
+        self.proj_out = QLinear(dim + mlp, dim, **kw)
         self.router = Router(dim, cfg.num_heads, rngs=rngs)
 
     def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
@@ -505,7 +508,16 @@ class HunyuanModel(nnx.Module):
             cfg.dim, cfg.out_channels * int(np.prod(cfg.patch_size)), rngs=rngs, **kw
         )
 
-    def __call__(
+    def __call__(self, *args, mm_precision: str = "bf16", **kwargs) -> HunyuanOutput:
+        """See _forward.  ``mm_precision="int8"`` activates the dynamic W8A8
+        path (ops/qmm.py) for the block projections/MLPs — opt-in serving
+        mode; default bf16 is bit-identical to before."""
+        from ..ops.qmm import mm_precision as _mm_scope
+
+        with _mm_scope(mm_precision):
+            return self._forward(*args, **kwargs)
+
+    def _forward(
         self,
         latents: jax.Array,  # (B, T, H, W, C) channels-last
         timestep: jax.Array,  # (B,)

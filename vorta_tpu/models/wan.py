@@ -27,6 +27,7 @@ import numpy as np
 from flax import nnx
 
 from ..config import AttentionConfig, WanModelConfig
+from ..ops.qmm import QLinear
 from ..ops.experts import full_attention, padded_dense_attention, routed_attention
 from ..ops.rope import rope_cos_sin
 from .common import (
@@ -66,10 +67,11 @@ class WanSelfAttention(nnx.Module):
         dim = cfg.dim
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.num_heads = cfg.num_heads
-        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+        # QLinear == nnx.Linear params; obeys the opt-in int8 mm context
+        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_k = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_v = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_out = QLinear(dim, dim, use_bias=True, **kw)
         self.norm_q = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
         self.norm_k = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
 
@@ -138,10 +140,12 @@ class WanCrossAttention(nnx.Module):
         dim = cfg.dim
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.num_heads = cfg.num_heads
-        self.to_q = nnx.Linear(dim, dim, use_bias=True, **kw)
+        # video-length matmuls (q, out) obey the int8 mm context; the text
+        # k/v projections are sequence-512 — negligible, kept bf16
+        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
         self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
         self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_out = nnx.Linear(dim, dim, use_bias=True, **kw)
+        self.to_out = QLinear(dim, dim, use_bias=True, **kw)
         self.norm_q = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
         self.norm_k = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
         if cfg.image_dim is not None:
@@ -343,7 +347,16 @@ class WanModel(nnx.Module):
         cos, sin = rope_cos_sin(grid, self.cfg.head_dim, self.cfg.rope_theta)
         return jnp.asarray(cos), jnp.asarray(sin)
 
-    def __call__(
+    def __call__(self, *args, mm_precision: str = "bf16", **kwargs) -> WanOutput:
+        """See _forward.  ``mm_precision="int8"`` activates the dynamic W8A8
+        path (ops/qmm.py) for the block FFN/attention projections — an
+        opt-in serving mode; default bf16 is bit-identical to before."""
+        from ..ops.qmm import mm_precision as _mm_scope
+
+        with _mm_scope(mm_precision):
+            return self._forward(*args, **kwargs)
+
+    def _forward(
         self,
         latents: jax.Array,  # (B, T, H, W, C_in) channels-last
         timestep: jax.Array,  # (B,)
