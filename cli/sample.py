@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--native_attention", action="store_true",
                    help="full 3D attention baseline (speedup denominator)")
     p.add_argument("--tau_sparse", type=float, default=0.3)
+    p.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
+                   help="int8: W8A8 serving mode for block FFN/projections "
+                        "(~2x MXU rate, small quality trade; ops/qmm.py)")
     # generation
     p.add_argument("--prompt", default=None,
                    help="text prompt; needs --tokenizer_dir (+ encoder ckpt)")
@@ -260,6 +263,7 @@ def main(argv=None):
         flow_shift=args.flow_shift,
         scheduler=args.scheduler or "unipc",  # reference wan default
         routing_mode="off" if args.native_attention else "hard",
+        mm_precision=args.mm,
     )
 
     vae = None
@@ -435,6 +439,7 @@ def _main_hunyuan(args, interpret):
         flow_shift=args.flow_shift,
         scheduler=args.scheduler or "euler",  # reference hunyuan default
         routing_mode="off" if args.native_attention else "hard",
+        mm_precision=args.mm,
     )
 
     def generate(text, mask, pooled, out):

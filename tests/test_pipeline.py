@@ -93,3 +93,19 @@ def test_pipeline_deterministic(model):
     out1, _ = pipe(latents, pe, None, sampling=cfg)
     out2, _ = pipe(latents, pe, None, sampling=cfg)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_pipeline_int8_serving_mode(model):
+    """mm_precision=int8 runs end-to-end and stays close to bf16."""
+    pipe = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    latents = pipe.prepare_latents(jax.random.PRNGKey(3), 1, 13, 64, 64)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    kw = dict(num_inference_steps=2, guidance_scale=1.0, routing_mode="hard")
+    ref, _ = pipe(latents, pe, None, sampling=SamplingConfig(**kw))
+    got, _ = pipe(latents, pe, None,
+                  sampling=SamplingConfig(mm_precision="int8", **kw))
+    assert np.isfinite(np.asarray(got)).all()
+    assert not np.array_equal(np.asarray(got), np.asarray(ref))
+    rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.1, rel

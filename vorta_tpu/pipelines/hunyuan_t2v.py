@@ -35,6 +35,7 @@ class HunyuanSamplingConfig:
     true_cfg_scale: float = 1.0  # >1 enables a real CFG pair
     flow_shift: float = 7.0
     routing_mode: str = "off"  # off | hard
+    mm_precision: str = "bf16"  # bf16 | int8 (W8A8 serving mode, ops/qmm.py)
     scheduler: str = "euler"  # euler (reference hunyuan default) | unipc
 
 
@@ -81,6 +82,7 @@ class HunyuanT2VPipeline:
         attn_cfg = self.attn_cfg
         interpret = self.interpret
         routing_mode = sampling.routing_mode
+        mm = sampling.mm_precision
         guidance_value = float(sampling.guidance_scale) * 1000.0
         do_cfg = sampling.true_cfg_scale > 1.0
         cfg_scale = float(sampling.true_cfg_scale)
@@ -100,6 +102,7 @@ class HunyuanT2VPipeline:
                 out = model(
                     x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
                     attn_cfg=attn_cfg, routing_mode=routing_mode, interpret=interpret,
+                    mm_precision=mm,
                 )
                 v = out.sample.astype(jnp.float32)
                 if do_cfg:
@@ -107,6 +110,7 @@ class HunyuanT2VPipeline:
                         x.astype(model.dtype), t, neg_text, mask, neg_pooled,
                         guidance=guidance, attn_cfg=attn_cfg,
                         routing_mode=routing_mode, interpret=interpret,
+                        mm_precision=mm,
                     ).sample.astype(jnp.float32)
                     v = vu + cfg_scale * (v - vu)
                 if use_unipc:
@@ -143,7 +147,7 @@ class HunyuanT2VPipeline:
             out = model(
                 x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
-                interpret=interpret, sp_axis="sp",
+                interpret=interpret, sp_axis="sp", mm_precision=mm,
             )
             v = out.sample.astype(jnp.float32)
             if do_cfg:
@@ -151,6 +155,7 @@ class HunyuanT2VPipeline:
                     x.astype(model.dtype), t, neg_text, mask, neg_pooled,
                     guidance=guidance, attn_cfg=attn_cfg,
                     routing_mode=routing_mode, interpret=interpret, sp_axis="sp",
+                    mm_precision=mm,
                 ).sample.astype(jnp.float32)
                 v = vu + cfg_scale * (v - vu)
             return v

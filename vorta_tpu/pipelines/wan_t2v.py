@@ -31,6 +31,7 @@ class SamplingConfig:
     guidance_scale: float = 5.0
     flow_shift: float = 5.0
     routing_mode: str = "off"  # off | hard
+    mm_precision: str = "bf16"  # bf16 | int8 (W8A8 serving mode, ops/qmm.py)
     scheduler: str = "unipc"  # unipc (reference inference default) | euler
     return_scores: bool = False
 
@@ -84,6 +85,7 @@ class WanT2VPipeline:
         guidance_scale = float(sampling.guidance_scale)
         do_cfg = sampling.guidance_scale > 1.0
         routing_mode = sampling.routing_mode
+        mm = sampling.mm_precision
         return_scores = sampling.return_scores
 
         @nnx.jit
@@ -106,6 +108,7 @@ class WanT2VPipeline:
                     return_scores=return_scores,
                     image_context=image_embeds,
                     interpret=interpret,
+                    mm_precision=mm,
                 )
                 velocity = out.sample.astype(jnp.float32)
                 if do_cfg:
@@ -120,6 +123,7 @@ class WanT2VPipeline:
                         routing_mode=routing_mode,
                         image_context=image_embeds,
                         interpret=interpret,
+                        mm_precision=mm,
                     )
                     vu = out_u.sample.astype(jnp.float32)
                     velocity = vu + guidance_scale * (velocity - vu)
@@ -157,6 +161,7 @@ class WanT2VPipeline:
                 x.astype(model.dtype), t, pe,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
                 image_context=img, interpret=interpret, sp_axis="sp",
+                mm_precision=mm,
             )
             v = out.sample.astype(jnp.float32)
             if do_cfg:
@@ -164,6 +169,7 @@ class WanT2VPipeline:
                     x.astype(model.dtype), t, ne,
                     attn_cfg=attn_cfg, routing_mode=routing_mode,
                     image_context=img, interpret=interpret, sp_axis="sp",
+                    mm_precision=mm,
                 ).sample.astype(jnp.float32)
                 v = vu + guidance_scale * (v - vu)
             return v
