@@ -73,8 +73,11 @@ def test_supports():
 
 
 @pytest.mark.parametrize("latent,tile", [
-    ((4, 6, 12), (2, 3, 4)),   # tw % 8 != 0 -> masked-width variant
-    ((8, 6, 20), (2, 3, 4)),   # real clamping on t and w
+    ((4, 6, 12), (2, 3, 4)),   # tw | 8 -> grouped-width variant
+    ((8, 6, 20), (2, 3, 4)),   # grouped, real clamping on t and w
+    ((8, 6, 20), (2, 3, 2)),   # grouped, tw=2 (4 tiles per group)
+    ((4, 6, 18), (2, 3, 6)),   # tw=6: genuinely misaligned -> masked-width
+    ((8, 6, 30), (2, 3, 6)),   # masked-width, real clamping
 ])
 def test_masked_width_matches_dense_oracle(latent, tile):
     b, h, d = 1, 2, 32

@@ -63,6 +63,61 @@ def _q_mult(latent_shape: Shape3, tile: Shape3, window: Shape3) -> int:
     return 2
 
 
+def _w_groups(latent_shape: Shape3, tile: Shape3, window: Shape3):
+    """Geometry of the grouped-width variant (tile_w divides 8 but is not a
+    multiple of 8): q streams in 8-token w groups over a w axis zero-padded
+    to ``w_pad``; each group's KV slice is the union of its tiles' clamped
+    windows rounded out to 8-token boundaries, one uniform ``bw8`` wide.
+
+    Returns (w_pad, n_groups, bw8, los) with ``los`` the per-group 8-aligned
+    KV slice starts (los[g] + bw8 <= w_pad always)."""
+    t, hh, w = latent_shape
+    tt, th, tw = tile
+    nw = w // tw
+    win_w = min(window[2], nw)
+    bw_tok = win_w * tw
+    w_starts = _w_window_starts(latent_shape, tile, window)
+    w_pad = ((w + 7) // 8) * 8
+    n_groups = w_pad // 8
+    spans = []
+    for gi in range(n_groups):
+        t0 = (gi * 8) // tw
+        t1 = min(nw - 1, (gi * 8 + 7) // tw)
+        ws = [w_starts[x] for x in range(t0, t1 + 1)]
+        lo = (min(ws) // 8) * 8
+        hi = -(-(max(ws) + bw_tok) // 8) * 8
+        spans.append((lo, hi))
+    bw8 = min(max(hi - lo for lo, hi in spans), w_pad)
+    los = tuple(max(0, min(lo, w_pad - bw8)) for lo, _ in spans)
+    return w_pad, n_groups, bw8, los
+
+
+def _w_group_bias(latent_shape: Shape3, tile: Shape3, window: Shape3):
+    """(n_groups*8, tt*th*bw8) f32 additive bias for the grouped variant:
+    0 where the kv w-position lies inside the q token's clamped w window
+    (and inside the real, unpadded w extent), NEG_INF otherwise."""
+    t, hh, w = latent_shape
+    tt, th, tw = tile
+    nw = w // tw
+    win_w = min(window[2], nw)
+    bw_tok = win_w * tw
+    w_starts = np.asarray(_w_window_starts(latent_shape, tile, window))
+    w_pad, n_groups, bw8, los = _w_groups(latent_shape, tile, window)
+    bias = np.full((n_groups * 8, tt * th * bw8), NEG_INF, np.float32)
+    for gi in range(n_groups):
+        lo = los[gi]
+        for wj in range(8):
+            qw = gi * 8 + wj
+            if qw >= w:
+                continue  # padded q row: fully masked (out row sliced off)
+            ws_q = w_starts[qw // tw]
+            kv_w = lo + np.arange(bw8)
+            vis = (kv_w < w) & (kv_w >= ws_q) & (kv_w < ws_q + bw_tok)
+            row = np.where(vis, 0.0, NEG_INF).astype(np.float32)
+            bias[gi * 8 + wj] = np.tile(row, tt * th)
+    return bias
+
+
 def _kernel(
     *refs,
     scale: float,
@@ -85,7 +140,8 @@ def _kernel(
     q_ref = next(it)  # (1, 1, tt, th, W, D)
     k_ref = next(it)  # (1, 1, tt, th, W, D) — current window chunk slab
     v_ref = next(it)
-    wmask_ref = next(it) if masked_w else None  # (tpt_all, kv_len) f32 bias
+    # masked_w: (tpt_all, kv_len); grouped: (n_groups*8, tt*th*bw8)
+    wmask_ref = next(it) if (masked_w or grouped is not None) else None
     tk_ref = next(it) if text_len else None  # (1, 1, Lt, D)
     tv_ref = next(it) if text_len else None
     bias_ref = next(it) if text_len else None  # (1, Lt) f32
@@ -260,6 +316,15 @@ def _kernel(
                     ) + bias_ref[0][None, :]
                     soft_pv(wi, s, vt)
         a = (active_ref[g] > 0).astype(jnp.float32)
+        if grouped is not None:
+            n_groups, _, _, _ = grouped
+            for gi in range(n_groups):
+                l = l_s[gi]
+                out = acc_s[gi] / jnp.where(l == 0.0, 1.0, l)
+                out_ref[0, 0, :, :, gi * 8 : (gi + 1) * 8, :] = (
+                    (out * a).reshape(q_mult * tt, th, 8, d).astype(out_ref.dtype)
+                )
+            return
         if masked_w:
             l = l_s[0]
             out = acc_s[0] / jnp.where(l == 0.0, 1.0, l)
@@ -296,7 +361,21 @@ def supports_pipe(latent_shape: Shape3, tile: Shape3, d: int,
         + 2 * 2 * slab                     # q/out double-buffered blocks
         + 2 * 2 * text_len * d * itemsize  # text kv blocks (double-buffered)
     )
-    if tw % 8:
+    if tw % 8 and 8 % tw == 0:
+        # grouped-width variant: padded slabs, one bw8-wide stream per
+        # 8-token w group
+        qm = _q_mult(latent_shape, tile, window)
+        w_pad, n_groups, bw8, _ = _w_groups(latent_shape, tile, window)
+        slab_p = tt * th * w_pad * d * itemsize
+        rows_g = qm * tt * th * 8
+        est = (
+            2 * 2 * slab_p + 2 * 2 * slab_p
+            + 2 * 2 * text_len * d * itemsize
+            + n_groups * rows_g * (d + 2) * 4   # acc/m/l states
+            + n_groups * 8 * tt * th * bw8 * 4  # bias table
+            + 2 * rows_g * tt * th * bw8 * 4    # live f32 scores (x2 margin)
+        )
+    elif tw % 8:
         qm = _q_mult(latent_shape, tile, window)
         rows = qm * tt * th * w  # single full-width stream
         kv_len = tt * th * w
@@ -364,8 +443,17 @@ def sta_pipe_attention(
     n_rows = (nt // qm) * nh
     n_chunks = win_eff[0] * win_eff[1]
     masked_w = tw % 8 != 0
+    grouped = None
     wmask = None
-    if masked_w:
+    if masked_w and 8 % tw == 0 and variant == "full":
+        # tw divides 8: grouped-width variant — 8-token w groups stream a
+        # bw8-wide union-window KV slice each (sublane-aligned slices, ~w/bw8
+        # x fewer score FLOPs than the full-width masked variant)
+        w_pad, n_groups, bw8, g_los = _w_groups(latent_shape, tile, window)
+        grouped = (n_groups, bw8, g_los, w_pad)
+        masked_w = False
+        wmask = jnp.asarray(_w_group_bias(latent_shape, tile, window))
+    elif masked_w:
         # misaligned tile_w: full-width scores with a precomputed w-window
         # bias (one VMEM-resident table, identical for every row/chunk/head)
         kv_len = tt * th * w
@@ -392,6 +480,13 @@ def sta_pipe_attention(
     q6 = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(b, n_heads, t, hh, w, d)
     k6 = k.reshape(b, n_heads, t, hh, w, d)
     v6 = v.reshape(b, n_heads, t, hh, w, d)
+    w_eff = w
+    if grouped is not None:
+        # zero-pad the w axis to the 8-aligned width (padded q rows are
+        # fully masked; padded kv columns masked by the group bias)
+        w_eff = grouped[3]
+        padw = ((0, 0),) * 4 + ((0, w_eff - w), (0, 0))
+        q6, k6, v6 = (jnp.pad(x, padw) for x in (q6, k6, v6))
     text_len = 0
     if text_k is not None:
         text_len = text_k.shape[2]
@@ -415,6 +510,7 @@ def sta_pipe_attention(
         softmax=softmax,
         variant=variant,
         masked_w=masked_w,
+        grouped=grouped,
     )
 
     wh = win_eff[1]
@@ -428,12 +524,12 @@ def sta_pipe_attention(
                 tab_ref[ii, 1] + jj - (jj // wh) * wh, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, qm * tt, th, w, d), q_map),
-        pl.BlockSpec((1, 1, tt, th, w, d), kv_map),
-        pl.BlockSpec((1, 1, tt, th, w, d), kv_map),
+        pl.BlockSpec((1, 1, qm * tt, th, w_eff, d), q_map),
+        pl.BlockSpec((1, 1, tt, th, w_eff, d), kv_map),
+        pl.BlockSpec((1, 1, tt, th, w_eff, d), kv_map),
     ]
     inputs = [q6, k6, v6]
-    if masked_w:
+    if wmask is not None:
         in_specs.append(
             pl.BlockSpec(wmask.shape, lambda bb, gg, ii, jj, *r: (0, 0))
         )
@@ -450,7 +546,15 @@ def sta_pipe_attention(
         inputs += [text_k.reshape(b, n_heads, text_len, d),
                    text_v.reshape(b, n_heads, text_len, d),
                    text_bias]
-    if masked_w:
+    if grouped is not None:
+        n_groups = grouped[0]
+        rows_g = qm * tt * th * 8
+        scratch = [
+            pltpu.VMEM((n_groups, rows_g, 1), jnp.float32),
+            pltpu.VMEM((n_groups, rows_g, 1), jnp.float32),
+            pltpu.VMEM((n_groups, rows_g, d), jnp.float32),
+        ]
+    elif masked_w:
         scratch = [
             pltpu.VMEM((1, qm * tt * th * w, 1), jnp.float32),
             pltpu.VMEM((1, qm * tt * th * w, 1), jnp.float32),
@@ -468,7 +572,7 @@ def sta_pipe_attention(
             num_scalar_prefetch=2,
             grid=(b, n_heads, n_rows, n_chunks),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, qm * tt, th, w, d), q_map),
+            out_specs=pl.BlockSpec((1, 1, qm * tt, th, w_eff, d), q_map),
             scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct(q6.shape, q.dtype),
@@ -488,4 +592,6 @@ def sta_pipe_attention(
         ),
         interpret=interpret,
     )(tab, active.astype(jnp.int32), *inputs)
+    if grouped is not None:
+        out6 = out6[:, :, :, :, :w, :]
     return out6.reshape(b, n_heads, s, d)
