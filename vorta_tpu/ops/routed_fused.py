@@ -295,7 +295,14 @@ def fused_routed_attention(
         # heads outside head_map come back uninitialized — mask them out
         return jnp.where(lh[None, :, None, None], up, 0)
 
-    if prefer_window_dense(cfg.latent_shape, cfg.sta_tile):
+    # fused dispatch whenever _sta_dispatch has an efficient kernel: the
+    # window-dense heuristic (tiles >= 192 tokens) OR the grid-pipelined v6
+    # kernel (covers 480p's 96-token tiles via the grouped-width variant,
+    # which replaced the tiled pair-bits fallback as the better choice there)
+    if prefer_window_dense(cfg.latent_shape, cfg.sta_tile) or supports_pipe(
+        cfg.latent_shape, cfg.sta_tile, q.shape[-1], q.dtype.itemsize,
+        window=cfg.sta_window,
+    ):
         if os.environ.get("VORTA_ROUTED_DISPATCH", "masked") == "masked":
             # one launch per EXPERT instead of one per head: the v6 STA
             # kernel skips compute for inactive heads (their slab streams
@@ -379,8 +386,8 @@ def fused_routed_attention(
         return lowres_all_perhead()
 
     def sta_branch():
-        # only reached when prefer_window_dense() was False above, so this
-        # is always the tiled pair-bits fallback kernel
+        # only reached when neither the window-dense heuristic nor the v6
+        # pipe kernel applied above: always the tiled pair-bits fallback
         active = expert_id == STA
         shape, tile = cfg.latent_shape, cfg.sta_tile
         from .sta_batched import sta_flash_headbatched
