@@ -336,8 +336,9 @@ def test_combined_embedder_parity(setup):
                  F.silu(lin(sd, "time_text_embed.text_embedder.linear_1", pooled)))
         ref = t_emb + pe + g_emb
 
-    temb, clean = model.time_text_embed(
+    temb, clean, tr_emb = model.time_text_embed(
         jnp.asarray([500.0]), jnp.asarray(pooled.numpy()), jnp.asarray([6000.0])
     )
+    assert tr_emb is None  # token_replace off for plain T2V
     np.testing.assert_allclose(np.asarray(temb), ref.numpy(), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(clean), t_emb.numpy(), rtol=2e-4, atol=2e-4)
