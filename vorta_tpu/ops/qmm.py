@@ -18,6 +18,15 @@ Weight re-quantization per call costs one read+write of W (e.g. 27 MB for
 the 1.3B FFN — ~0.05 ms) which keeps checkpoints, importers and the
 quantized-block streaming path (ops/quant.py) unchanged: QLinear's param
 tree is identical to nnx.Linear's.
+
+Measured on v5e (Wan-1.3B 720p): the raw int8 dot runs 3.1x bf16 (436 TOPS
+vs 139 TF/s), but DYNAMIC quantization adds two extra passes over the
+activations (amax + quantize), which on the wide K=8960 out-projection
+costs nearly the whole MXU win (bf16 15.4 -> int8 14.6 ms; the K=1536
+in-projection keeps 14.6 -> 10.6).  Net e2e: routed denoise 3307 -> 3262 ms
+(~1.4%).  The headroom is STATIC activation scales (calibrated per tensor,
+quantize fused into the producing op, no extra passes) — meaningful only
+with real calibrated checkpoints, so this module keeps the dynamic scheme.
 """
 
 from __future__ import annotations
