@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--cache", default="/tmp/hy13b_q.pkl",
                     help="pickle cache of the quantized stack (host prep ~20 min)")
+    ap.add_argument("--depth_frac", type=float, default=1.0,
+                    help="run only the first frac of each block stack: the "
+                         "full-depth dense fwd (~75 s) exceeds the remote "
+                         "tunnel's ~60 s dispatch kill, so the 'off' baseline "
+                         "is measured at 0.5 and doubled (labeled in output)")
     args = ap.parse_args()
 
     import dataclasses
@@ -41,7 +46,8 @@ def main():
 
     from vorta_tpu.config import AttentionConfig
     from vorta_tpu.models.hunyuan import HUNYUAN_13B, HunyuanModel
-    from vorta_tpu.ops.quant import quantize_stacked_tree, quantized_bytes
+    from vorta_tpu.ops.quant import (QTensor, quantize_stacked_tree,
+                                     quantized_bytes)
 
     cfg = HUNYUAN_13B
     t_lat = (args.frames - 1) // 4 + 1
@@ -97,6 +103,20 @@ def main():
               f"{sum(quantized_bytes(q) for q in host_trees) / 2**30:.2f} GiB",
               flush=True)
         cache.write_bytes(pickle.dumps(host_trees, protocol=4))
+    if args.depth_frac < 1.0:
+        def slice_tree(qt):
+            def visit(leaf):
+                if isinstance(leaf, QTensor):
+                    l2 = max(1, int(round(leaf.shape[0] * args.depth_frac)))
+                    return QTensor(q=leaf.q[:l2], scale=leaf.scale[:l2],
+                                   shape=(l2,) + tuple(leaf.shape[1:]),
+                                   dtype=leaf.dtype, bits=leaf.bits)
+                arr = np.asarray(leaf)
+                return arr[: max(1, int(round(arr.shape[0] * args.depth_frac)))]
+            return jax.tree.map(visit, qt,
+                                is_leaf=lambda x: isinstance(x, QTensor))
+        host_trees = [slice_tree(qt) for qt in host_trees]
+        print(f"[13b] depth_frac {args.depth_frac}: stacks sliced", flush=True)
     qtrees = [jax.tree.map(jnp.asarray, qt) for qt in host_trees]
     jax.block_until_ready(jax.tree.leaves(qtrees))
 
@@ -146,7 +166,7 @@ def main():
     if len(results) == 2:
         print(json.dumps({
             "model": "hunyuan-13B", "geometry": f"{args.frames}f@{args.height}p",
-            "bits": args.bits,
+            "bits": args.bits, "depth_frac": args.depth_frac,
             "full_ms": round(results["off"] * 1e3, 1),
             "routed_ms": round(results["hard"] * 1e3, 1),
             "speedup": round(results["off"] / results["hard"], 3),
