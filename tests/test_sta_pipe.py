@@ -165,3 +165,29 @@ def test_sT_variant_matches_full():
     a = sta_pipe_attention(q, k, v, active, variant="sT", **kw)
     b_ = sta_pipe_attention(q, k, v, active, **kw)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
+
+
+def test_w_groups_cover_all_windows():
+    """Property: every group's KV slice covers the union of its tiles'
+    clamped w windows, within the padded width, for many geometries."""
+    from vorta_tpu.ops.sta_pipe import _w_groups
+    from vorta_tpu.ops.sta_row import _w_window_starts
+
+    for w_tiles in range(2, 14):
+        for tw in (2, 4):
+            for win_w in (1, 2, 3, 5):
+                w = w_tiles * tw
+                latent = (4, 6, w)
+                tile = (2, 3, tw)
+                window = (3, 3, win_w)
+                w_pad, n_groups, bw8, los = _w_groups(latent, tile, window)
+                assert w_pad % 8 == 0 and n_groups == w_pad // 8
+                starts = _w_window_starts(latent, tile, window)
+                bw_tok = min(win_w, w_tiles) * tw
+                for gi in range(n_groups):
+                    assert 0 <= los[gi] <= w_pad - bw8
+                    for qw in range(gi * 8, min((gi + 1) * 8, w)):
+                        ws = starts[qw // tw]
+                        assert los[gi] <= ws
+                        assert ws + bw_tok <= los[gi] + bw8, (
+                            latent, tile, window, gi, qw)
