@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--routing", default="both", choices=["both", "off", "hard"])
+    ap.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
+                    help="int8: W8A8 serving mode for block FFN/projections")
     ap.add_argument("--frames", type=int, default=77)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=1280)
@@ -135,7 +137,7 @@ def main():
                 m = nnx.merge(graphdef, state)
                 lat = latents * (1 + 0.001 * i.astype(jnp.bfloat16))
                 out = m(lat, jnp.full((b,), 500.0), context, attn_cfg=attn,
-                        routing_mode=mode, quantized_blocks=qtree)
+                        routing_mode=mode, quantized_blocks=qtree, mm_precision=args.mm)
                 return c + out.sample.astype(jnp.float32).mean(), ()
 
             cf, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
