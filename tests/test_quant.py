@@ -138,3 +138,21 @@ def test_hunyuan_quantized_blocks_forward_matches_dequantized():
                     interpret=True).sample
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_qtensor_depth_slice_consistency():
+    """Slicing a quantized stack's leading (layer) dim preserves dequant
+    values for the kept layers (the 13B bench --depth_frac mechanism)."""
+    import jax
+    from vorta_tpu.ops.quant import QTensor, dequantize, quantize_stacked_tree
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((4, 16, 32)).astype(np.float32)
+    qt = quantize_stacked_tree({"w": w}, bits=4, min_bytes=0)["w"]
+    assert isinstance(qt, QTensor)
+    full = np.asarray(dequantize(qt))
+    l2 = 2
+    sliced = QTensor(q=qt.q[:l2], scale=qt.scale[:l2],
+                     shape=(l2,) + tuple(qt.shape[1:]), dtype=qt.dtype,
+                     bits=qt.bits)
+    np.testing.assert_array_equal(np.asarray(dequantize(sliced)), full[:l2])
