@@ -77,9 +77,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geom", default="720p", choices=["720p", "480p"],
                     help="480p variant reported for the routed-not-slower check")
-    ap.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
+    ap.add_argument("--mm", default="bf16", choices=["bf16", "int8", "int8_static"],
                     help="int8: opt-in W8A8 serving mode for FFN/projections "
-                         "(ops/qmm.py) — secondary number, primary stays bf16")
+                         "(ops/qmm.py) — secondary number, primary stays bf16; "
+                         "int8_static self-calibrates static activation scales "
+                         "first (no amax passes — quantize fuses into producers)")
     args = ap.parse_args()
     interpret = jax.default_backend() != "tpu"
     if interpret:
@@ -140,13 +142,41 @@ def main():
         jax.random.PRNGKey(1), (b, WAN_1_3B.text_len, WAN_1_3B.text_dim), jnp.bfloat16
     )
 
+    mm = args.mm
+    act_scales = None
+    if args.mm == "int8_static":
+        # self-calibrate: collect per-(site, layer) amaxes at a few
+        # timesteps under the measured routing mode (tools/calibrate_int8.py
+        # is the standalone workflow)
+        mm = "int8"
+
+        @jax.jit
+        def calib_fwd(rstate, fstate, lat, ctx, t):
+            m = nnx.merge(graphdef, rstate, fstate)
+            return m(lat, t, ctx, attn_cfg=attn, routing_mode="hard",
+                     calibrate_mm=True).mm_calibration
+
+        import numpy as _np
+
+        amax = None
+        for ts in (200.0, 500.0, 800.0):
+            a = jax.tree.map(
+                _np.asarray,
+                calib_fwd(router_state, frozen_state, latents, context,
+                          jnp.full((b,), ts)),
+            )
+            amax = a if amax is None else {
+                k: _np.maximum(amax[k], a[k]) for k in amax
+            }
+        act_scales = {k: v / 127.0 for k, v in amax.items()}
+
     # all big tensors ride as jit ARGS: closure constants would be baked into
     # the compile request (the frozen DiT state alone is ~2.9GB)
     def fwd(c, i, rstate, fstate, lat, ctx, mode):
         m = nnx.merge(graphdef, rstate, fstate)
         t = jnp.full((b,), 500.0) + i.astype(jnp.float32)  # vary per iter
         out = m(lat, t, ctx, attn_cfg=attn, routing_mode=mode,
-                mm_precision=args.mm)
+                mm_precision=mm, act_scales=act_scales)
         return c + out.sample.astype(jnp.float32).mean()
 
     big = (frozen_state, latents, context)
@@ -157,7 +187,7 @@ def main():
 
     result = {
         "metric": f"wan1.3b_{args.geom}_77f_denoise_fwd_ms_routed"
-                  + ("_int8" if args.mm == "int8" else ""),
+                  + ("" if args.mm == "bf16" else f"_{args.mm}"),
         "value": round(routed_s * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(full_s / routed_s, 4),

@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
                    help="int8: W8A8 serving mode for block FFN/projections "
                         "(~2x MXU rate, small quality trade; ops/qmm.py)")
+    p.add_argument("--act_scales", default=None,
+                   help="npz of calibrated static activation scales "
+                        "(tools/calibrate_int8.py) — removes the dynamic "
+                        "amax passes when --mm int8")
     # generation
     p.add_argument("--prompt", default=None,
                    help="text prompt; needs --tokenizer_dir (+ encoder ckpt)")
@@ -86,6 +90,18 @@ def parse_args(argv=None):
                    help="directory of .npy/.pt embeds; one video per file")
     p.add_argument("--skip_existing", action="store_true")
     return p.parse_args(argv)
+
+
+def load_act_scales(args):
+    """{site: (L,) static int8 activation scales} from --act_scales npz."""
+    if not getattr(args, "act_scales", None):
+        return None
+    import numpy as np
+
+    data = np.load(args.act_scales)
+    scales = {k: data[k] for k in data.files}
+    print(f"[sample] static int8 scales: {len(scales)} sites from {args.act_scales}")
+    return scales
 
 
 def make_mesh_or_none(args):
@@ -255,7 +271,8 @@ def main(argv=None):
               if args.negative_prompt_embeds else jnp.zeros_like(pe))
 
     pipe = WanT2VPipeline(
-        model, attn_cfg=attn_cfg, interpret=interpret, mesh=make_mesh_or_none(args)
+        model, attn_cfg=attn_cfg, interpret=interpret,
+        mesh=make_mesh_or_none(args), act_scales=load_act_scales(args),
     )
     sampling = SamplingConfig(
         num_inference_steps=args.num_inference_steps,
@@ -431,7 +448,7 @@ def _main_hunyuan(args, interpret):
             print(f"[sample] VAE imported ({len(applied)} tensors)")
     pipe = HunyuanT2VPipeline(
         model, attn_cfg=attn_cfg, interpret=interpret,
-        mesh=make_mesh_or_none(args), vae=vae,
+        mesh=make_mesh_or_none(args), vae=vae, act_scales=load_act_scales(args),
     )
     sampling = HunyuanSamplingConfig(
         num_inference_steps=args.num_inference_steps,

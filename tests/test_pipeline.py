@@ -109,3 +109,28 @@ def test_pipeline_int8_serving_mode(model):
     rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
                 / np.linalg.norm(np.asarray(ref)))
     assert rel < 0.1, rel
+
+
+def test_pipeline_static_int8_scales(model):
+    """act_scales= threads calibrated static scales through the denoise loop."""
+    latents_key = jax.random.PRNGKey(3)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    kw = dict(num_inference_steps=2, guidance_scale=1.0, routing_mode="hard")
+
+    # calibrate on one model forward at the pipeline geometry
+    pipe0 = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    latents = pipe0.prepare_latents(latents_key, 1, 13, 64, 64)
+    cal = model(
+        latents.astype(model.dtype), jnp.full((1,), 500.0), pe,
+        attn_cfg=ATTN, routing_mode="hard", interpret=True, calibrate_mm=True,
+    ).mm_calibration
+    scales = {k: np.asarray(v) / 127.0 for k, v in cal.items()}
+
+    ref, _ = pipe0(latents, pe, None, sampling=SamplingConfig(**kw))
+    pipe = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True, act_scales=scales)
+    got, _ = pipe(latents, pe, None,
+                  sampling=SamplingConfig(mm_precision="int8", **kw))
+    assert np.isfinite(np.asarray(got)).all()
+    rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.1, rel

@@ -8,6 +8,7 @@ and the two forwards must agree — this pins every transpose and ordering
 convention in io/torch_import.py.
 """
 
+import dataclasses
 import math
 
 import jax
@@ -31,9 +32,11 @@ CFG = WanModelConfig(
     text_dim=32, text_len=16, freq_dim=32, in_channels=16, out_channels=16,
 )
 GRID = (4, 4, 4)  # token grid; pixels (4, 8, 8)
+IMAGE_DIM = 48  # stands in for CLIP's 1280
+CFG_I2V = dataclasses.replace(CFG, image_dim=IMAGE_DIM)
 
 
-def make_torch_state(seed=0):
+def make_torch_state(seed=0, i2v=False):
     g = torch.Generator().manual_seed(seed)
 
     def r(*shape):
@@ -75,6 +78,22 @@ def make_torch_state(seed=0):
         sd[f"{p}.scale_shift_table"] = r(1, 6, CFG.dim)
         sd[f"{p}.router.linear.weight"] = r(CFG.num_heads * 3, CFG.dim)
         sd[f"{p}.router.linear.bias"] = r(CFG.num_heads * 3)
+        if i2v:
+            sd[f"{p}.attn2.add_k_proj.weight"] = r(CFG.dim, CFG.dim)
+            sd[f"{p}.attn2.add_k_proj.bias"] = r(CFG.dim)
+            sd[f"{p}.attn2.add_v_proj.weight"] = r(CFG.dim, CFG.dim)
+            sd[f"{p}.attn2.add_v_proj.bias"] = r(CFG.dim)
+            sd[f"{p}.attn2.norm_added_k.weight"] = 1 + r(CFG.dim)
+    if i2v:
+        ce = "condition_embedder.image_embedder"
+        sd[f"{ce}.norm1.weight"] = 1 + r(IMAGE_DIM)
+        sd[f"{ce}.norm1.bias"] = r(IMAGE_DIM)
+        sd[f"{ce}.ff.net.0.proj.weight"] = r(IMAGE_DIM, IMAGE_DIM)
+        sd[f"{ce}.ff.net.0.proj.bias"] = r(IMAGE_DIM)
+        sd[f"{ce}.ff.net.2.weight"] = r(CFG.dim, IMAGE_DIM)
+        sd[f"{ce}.ff.net.2.bias"] = r(CFG.dim)
+        sd[f"{ce}.norm2.weight"] = 1 + r(CFG.dim)
+        sd[f"{ce}.norm2.bias"] = r(CFG.dim)
     return sd
 
 
@@ -100,7 +119,23 @@ def torch_apply_rope(x, freqs):
     return torch.view_as_real(xc * freqs).flatten(-2).to(x.dtype)
 
 
-def torch_wan_forward(sd, latents, timestep, ctx):
+def torch_image_embed(sd, img):
+    """diffusers WanImageEmbedding: FP32LayerNorm (torch default eps=1e-5)
+    -> FeedForward(mult=1, activation_fn="gelu" == EXACT gelu) -> FP32LayerNorm."""
+    ce = "condition_embedder.image_embedder"
+    h = F.layer_norm(
+        img.float(), (IMAGE_DIM,),
+        sd[f"{ce}.norm1.weight"].float(), sd[f"{ce}.norm1.bias"].float(), eps=1e-5,
+    )
+    h = F.linear(h, sd[f"{ce}.ff.net.0.proj.weight"], sd[f"{ce}.ff.net.0.proj.bias"])
+    h = F.linear(F.gelu(h), sd[f"{ce}.ff.net.2.weight"], sd[f"{ce}.ff.net.2.bias"])
+    return F.layer_norm(
+        h.float(), (CFG.dim,),
+        sd[f"{ce}.norm2.weight"].float(), sd[f"{ce}.norm2.bias"].float(), eps=1e-5,
+    )
+
+
+def torch_wan_forward(sd, latents, timestep, ctx, img=None):
     def lin(p, x):
         return F.linear(x, sd[f"{p}.weight"], sd[f"{p}.bias"])
 
@@ -124,18 +159,26 @@ def torch_wan_forward(sd, latents, timestep, ctx):
               F.gelu(lin("condition_embedder.text_embedder.linear_1", ctx), approximate="tanh"))
 
     freqs = torch_rope_freqs()
+    img_emb = torch_image_embed(sd, img) if img is not None else None
 
-    def attention(p, xq, xkv, use_rope):
-        q = rms(lin(f"{p}.to_q", xq), sd[f"{p}.norm_q.weight"])
-        k = rms(lin(f"{p}.to_k", xkv), sd[f"{p}.norm_k.weight"])
-        v = lin(f"{p}.to_v", xkv)
-        q = q.unflatten(2, (CFG.num_heads, -1)).transpose(1, 2)
-        k = k.unflatten(2, (CFG.num_heads, -1)).transpose(1, 2)
-        v = v.unflatten(2, (CFG.num_heads, -1)).transpose(1, 2)
+    def heads(x):
+        return x.unflatten(2, (CFG.num_heads, -1)).transpose(1, 2)
+
+    def attention(p, xq, xkv, use_rope, with_image=False):
+        q = heads(rms(lin(f"{p}.to_q", xq), sd[f"{p}.norm_q.weight"]))
+        k = heads(rms(lin(f"{p}.to_k", xkv), sd[f"{p}.norm_k.weight"]))
+        v = heads(lin(f"{p}.to_v", xkv))
         if use_rope:
             q = torch_apply_rope(q, freqs)
             k = torch_apply_rope(k, freqs)
         out = F.scaled_dot_product_attention(q, k, v)
+        if with_image and img_emb is not None:
+            # reference wan.py:119-139: separate K/V projections over the
+            # image tokens, attention outputs summed
+            ki = heads(rms(lin(f"{p}.add_k_proj", img_emb.type_as(xq)),
+                           sd[f"{p}.norm_added_k.weight"]))
+            vi = heads(lin(f"{p}.add_v_proj", img_emb.type_as(xq)))
+            out = out + F.scaled_dot_product_attention(q, ki, vi)
         out = out.transpose(1, 2).flatten(2)
         return lin(f"{p}.to_out.0", out)
 
@@ -149,7 +192,7 @@ def torch_wan_forward(sd, latents, timestep, ctx):
             x.float(), (CFG.dim,), sd[f"{p}.norm2.weight"].float(),
             sd[f"{p}.norm2.bias"].float(), eps=CFG.eps,
         ).type_as(x)
-        x = x + attention(f"{p}.attn2", norm_x, ctx, False)
+        x = x + attention(f"{p}.attn2", norm_x, ctx, False, with_image=True)
         norm_x = (F.layer_norm(x.float(), (CFG.dim,), eps=CFG.eps) * (1 + csc) + csh).type_as(x)
         ffn = lin(f"{p}.ffn.net.2", F.gelu(lin(f"{p}.ffn.net.0.proj", norm_x), approximate="tanh"))
         x = (x.float() + ffn.float() * cgate).type_as(x)
@@ -203,6 +246,38 @@ def test_forward_parity_with_torch_oracle(torch_sd, tmp_path):
         jnp.asarray(timestep.numpy()),
         jnp.asarray(ctx_t.numpy()),
         routing_mode="off",
+        interpret=True,
+    ).sample
+    out_t = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))
+    np.testing.assert_allclose(out_t, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_i2v_forward_parity_with_torch_oracle(tmp_path):
+    """I2V variant: image_embedder import + add_k/v_proj cross-attn branch
+    (reference modeling_wan.py:77-83, wan.py:119-139) vs the torch oracle."""
+    sd = make_torch_state(seed=3, i2v=True)
+    torch.save(sd, tmp_path / "model.pt")
+
+    model = WanModel(CFG_I2V, rngs=nnx.Rngs(0))
+    applied, missing = load_wan_torch_weights(model, tmp_path / "model.pt")
+    assert not missing, missing
+
+    b = 1
+    g = torch.Generator().manual_seed(4)
+    latents_t = torch.randn(b, CFG.in_channels, 4, 8, 8, generator=g)
+    ctx_t = torch.randn(b, CFG.text_len, CFG.text_dim, generator=g)
+    img_t = torch.randn(b, 5, IMAGE_DIM, generator=g)  # 5 stands in for CLIP's 257
+    timestep = torch.tensor([500.0])
+
+    with torch.no_grad():
+        ref = torch_wan_forward(sd, latents_t, timestep, ctx_t, img=img_t).numpy()
+
+    out = model(
+        jnp.asarray(latents_t.numpy().transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(timestep.numpy()),
+        jnp.asarray(ctx_t.numpy()),
+        routing_mode="off",
+        image_context=jnp.asarray(img_t.numpy()),
         interpret=True,
     ).sample
     out_t = np.transpose(np.asarray(out), (0, 4, 1, 2, 3))

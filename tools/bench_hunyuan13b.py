@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--bits", type=int, default=4, choices=[4, 8])
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--routing", default="both", choices=["both", "off", "hard"])
-    ap.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
+    ap.add_argument("--mm", default="bf16", choices=["bf16", "int8", "int8_static"],
                     help="int8: W8A8 serving mode for block FFN/projections")
     ap.add_argument("--frames", type=int, default=117)
     ap.add_argument("--height", type=int, default=720)
@@ -137,6 +137,31 @@ def main():
     graphdef, state = nnx.split(model)
     qpair = tuple(qtrees)
 
+    mm = args.mm
+    act_scales = None
+    if args.mm == "int8_static":
+        mm = "int8"
+
+        @jax.jit
+        def calib_fwd(state, qpair, lat, text, mask, pooled, t):
+            m = nnx.merge(graphdef, state)
+            return m(lat, t, text, mask, pooled, guidance=guidance,
+                     attn_cfg=attn, routing_mode="hard",
+                     quantized_blocks=qpair, calibrate_mm=True).mm_calibration
+
+        t0 = time.time()
+        amax = None
+        for ts in (200.0, 500.0, 800.0):
+            a = jax.tree.map(
+                np.asarray,
+                calib_fwd(state, qpair, latents, text, mask, pooled,
+                          jnp.full((b,), ts)),
+            )
+            amax = a if amax is None else {k: np.maximum(amax[k], a[k]) for k in amax}
+        act_scales = {k: v / 127.0 for k, v in amax.items()}
+        print(f"[13b] int8 calibration {time.time() - t0:.0f}s "
+              f"({len(act_scales)} sites)", flush=True)
+
     results = {}
     for mode in ("off", "hard"):
         if args.routing not in ("both", mode):
@@ -149,7 +174,8 @@ def main():
                 lat = latents * (1 + 0.001 * i.astype(jnp.bfloat16))
                 out = m(lat, jnp.full((b,), 500.0), text, mask, pooled,
                         guidance=guidance, attn_cfg=attn, routing_mode=mode,
-                        quantized_blocks=qpair, mm_precision=args.mm)
+                        quantized_blocks=qpair,
+                        mm_precision=mm, act_scales=act_scales)
                 return c + out.sample.astype(jnp.float32).mean(), ()
 
             cf, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),

@@ -109,11 +109,14 @@ class GELUFeedForward(nnx.Module):
     Projections are QLinear: identical params to nnx.Linear, but obey the
     ops.qmm.mm_precision() context (opt-in int8 serving mode)."""
 
-    def __init__(self, dim: int, inner_dim: int, *, dtype=jnp.float32, param_dtype=jnp.float32, rngs: nnx.Rngs):
+    def __init__(self, dim: int, inner_dim: int, *, dtype=jnp.float32, param_dtype=jnp.float32, rngs: nnx.Rngs, site_prefix=None):
         from ..ops.qmm import QLinear
 
-        self.proj_in = QLinear(dim, inner_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
-        self.proj_out = QLinear(inner_dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        def site(name):
+            return f"{site_prefix}.{name}" if site_prefix else None
+
+        self.proj_in = QLinear(dim, inner_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs, site=site("proj_in"))
+        self.proj_out = QLinear(inner_dim, dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs, site=site("proj_out"))
 
     def __call__(self, x: jax.Array) -> jax.Array:
         return self.proj_out(jax.nn.gelu(self.proj_in(x), approximate=True))

@@ -101,6 +101,7 @@ class HunyuanOutput:
     last_layer_distill_loss: Optional[jax.Array] = None
     hidden_layer_distill_loss: Optional[jax.Array] = None
     routing_scores: Optional[jax.Array] = None  # (L_total, B, H, E)
+    mm_calibration: Optional[dict] = None  # {site: (L,) amax} (calibrate_mm)
 
 
 def hunyuan_rope_tables(grid: Shape3, cfg: HunyuanModelConfig):
@@ -192,9 +193,9 @@ class HunyuanJointAttention(nnx.Module):
         self.num_heads = cfg.num_heads
         # video-length projections obey the int8 mm context (ops.qmm);
         # text-side (add_*, to_add_out) are sequence-256 — kept bf16
-        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
-        self.to_k = QLinear(dim, dim, use_bias=True, **kw)
-        self.to_v = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_q = QLinear(dim, dim, use_bias=True, site="dual.attn.to_q", **kw)
+        self.to_k = QLinear(dim, dim, use_bias=True, site="dual.attn.to_k", **kw)
+        self.to_v = QLinear(dim, dim, use_bias=True, site="dual.attn.to_v", **kw)
         self.add_q_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
         self.add_k_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
         self.add_v_proj = nnx.Linear(dim, dim, use_bias=True, **kw)
@@ -202,7 +203,7 @@ class HunyuanJointAttention(nnx.Module):
         self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
         self.norm_added_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
         self.norm_added_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
-        self.to_out = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_out = QLinear(dim, dim, use_bias=True, site="dual.attn.to_out", **kw)
         self.to_add_out = nnx.Linear(dim, dim, use_bias=True, **kw)
 
     def __call__(self, x, ctx, rope, text_mask, jcfg, scores, routing_mode,
@@ -238,9 +239,9 @@ class HunyuanSingleAttention(nnx.Module):
         dim = cfg.dim
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.num_heads = cfg.num_heads
-        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
-        self.to_k = QLinear(dim, dim, use_bias=True, **kw)
-        self.to_v = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_q = QLinear(dim, dim, use_bias=True, site="single.attn.to_q", **kw)
+        self.to_k = QLinear(dim, dim, use_bias=True, site="single.attn.to_k", **kw)
+        self.to_v = QLinear(dim, dim, use_bias=True, site="single.attn.to_v", **kw)
         self.norm_q = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
         self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
 
@@ -280,7 +281,7 @@ class HunyuanDualBlock(nnx.Module):
         self.attn = HunyuanJointAttention(cfg, **kw)
         self.norm2 = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
         self.norm2_context = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
-        self.ff = GELUFeedForward(dim, int(dim * cfg.mlp_ratio), **kw)
+        self.ff = GELUFeedForward(dim, int(dim * cfg.mlp_ratio), site_prefix="dual.ff", **kw)
         self.ff_context = GELUFeedForward(dim, int(dim * cfg.mlp_ratio), **kw)
         self.router = Router(dim, cfg.num_heads, rngs=rngs)
 
@@ -345,8 +346,8 @@ class HunyuanSingleBlock(nnx.Module):
         self.norm_mod = AdaLNModulation(dim, 3, **kw)
         self.norm = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
         self.attn = HunyuanSingleAttention(cfg, **kw)
-        self.proj_mlp = QLinear(dim, mlp, **kw)
-        self.proj_out = QLinear(dim + mlp, dim, **kw)
+        self.proj_mlp = QLinear(dim, mlp, site="single.proj_mlp", **kw)
+        self.proj_out = QLinear(dim + mlp, dim, site="single.proj_out", **kw)
         self.router = Router(dim, cfg.num_heads, rngs=rngs)
 
     def __call__(self, x, ctx, temb, clean_temb, rope, text_mask, jcfg,
@@ -534,6 +535,8 @@ class HunyuanModel(nnx.Module):
         frozen_sharded_axis: Optional[str] = None,
         remat_blocks: bool = False,
         quantized_blocks=None,
+        act_scales: Optional[dict] = None,
+        calibrate_mm: bool = False,
     ) -> HunyuanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -575,8 +578,22 @@ class HunyuanModel(nnx.Module):
         if teacher and routing_mode == "off":
             raise ValueError("return_losses requires routed attention")
 
+        # static int8 activation scales / calibration (ops/qmm.py): the
+        # "dual."/"single." site prefixes split one table across both stacks
+        from ..ops import qmm
+
+        def stack_scales(prefix):
+            if not act_scales:
+                return None
+            sub = {
+                k: jnp.asarray(v, jnp.float32)
+                for k, v in act_scales.items()
+                if k.startswith(prefix)
+            }
+            return sub or None
+
         def run_stack(blocks_module, n_layers, x, ctx, xt, ct, reg, hid,
-                      qtree=None):
+                      qtree=None, scales_xs=None):
             if frozen_sharded_axis is not None:
                 # FSDP-style fallback: frozen block params arrive
                 # layer-sharded; fetch one block per scan step with a psum
@@ -596,7 +613,8 @@ class HunyuanModel(nnx.Module):
                 if qtree is not None:
                     state = qtree  # quantized stack overrides resident params
 
-            def body(carry, bstate):
+            def body(carry, scan_in):
+                bstate, layer_scales = scan_in
                 x, ctx, xt, ct, reg, hid = carry
                 if frozen_sharded_axis is not None:
                     block = block_at(bstate)
@@ -606,12 +624,30 @@ class HunyuanModel(nnx.Module):
 
                         bstate = dequantize_tree(bstate)
                     block = nnx.merge(graphdef, bstate)
-                x, ctx, scores = block(
-                    x, ctx, temb, clean_temb, rope, text_mask, jcfg,
-                    routing_mode, interpret, sp_axis,
-                    token_replace_emb=tr_emb,
-                    first_frame_tokens=first_frame_tokens,
+                import contextlib as _cl
+
+                scale_scope = (
+                    qmm.layer_act_scales(layer_scales)
+                    if layer_scales is not None
+                    else _cl.nullcontext()
                 )
+                calib_sink: dict = {}
+                with scale_scope:
+                    if calibrate_mm:
+                        with qmm.calibration_scope() as calib_sink:
+                            x, ctx, scores = block(
+                                x, ctx, temb, clean_temb, rope, text_mask, jcfg,
+                                routing_mode, interpret, sp_axis,
+                                token_replace_emb=tr_emb,
+                                first_frame_tokens=first_frame_tokens,
+                            )
+                    else:
+                        x, ctx, scores = block(
+                            x, ctx, temb, clean_temb, rope, text_mask, jcfg,
+                            routing_mode, interpret, sp_axis,
+                            token_replace_emb=tr_emb,
+                            first_frame_tokens=first_frame_tokens,
+                        )
                 if teacher:
                     # the frozen teacher runs under grad tracing, so it must
                     # use the differentiable full-attention path
@@ -629,26 +665,26 @@ class HunyuanModel(nnx.Module):
                     )
                 if scores is None:
                     scores = jnp.zeros((b, cfg.num_heads, 3), jnp.float32)
-                return (x, ctx, xt, ct, reg, hid), scores
+                return (x, ctx, xt, ct, reg, hid), (scores, calib_sink)
 
             if remat_blocks:
                 # per-block gradient checkpointing (see models/wan.py)
                 body = jax.checkpoint(body, prevent_cse=False)
-            (x, ctx, xt, ct, reg, hid), scores = jax.lax.scan(
-                body, (x, ctx, xt, ct, reg, hid), state
+            (x, ctx, xt, ct, reg, hid), (scores, calib) = jax.lax.scan(
+                body, (x, ctx, xt, ct, reg, hid), (state, scales_xs)
             )
-            return x, ctx, xt, ct, reg, hid, scores
+            return x, ctx, xt, ct, reg, hid, scores, calib
 
         zero = jnp.zeros((), jnp.float32)
         x_t, c_t = x, ctx
         q_dual, q_single = quantized_blocks or (None, None)
-        x, ctx, x_t, c_t, reg, hid, s1 = run_stack(
+        x, ctx, x_t, c_t, reg, hid, s1, calib1 = run_stack(
             self.dual_blocks, cfg.dual_layers, x, ctx, x_t, c_t, zero, zero,
-            qtree=q_dual,
+            qtree=q_dual, scales_xs=stack_scales("dual."),
         )
-        x, ctx, x_t, c_t, reg, hid, s2 = run_stack(
+        x, ctx, x_t, c_t, reg, hid, s2, calib2 = run_stack(
             self.single_blocks, cfg.single_layers, x, ctx, x_t, c_t, reg, hid,
-            qtree=q_single,
+            qtree=q_single, scales_xs=stack_scales("single."),
         )
 
         def head(hx):
@@ -674,4 +710,5 @@ class HunyuanModel(nnx.Module):
             last_layer_distill_loss=last_loss,
             hidden_layer_distill_loss=hid if teacher else None,
             routing_scores=scores,
+            mm_calibration={**calib1, **calib2} if calibrate_mm else None,
         )

@@ -48,6 +48,7 @@ class WanOutput:
     last_layer_distill_loss: Optional[jax.Array] = None
     hidden_layer_distill_loss: Optional[jax.Array] = None
     routing_scores: Optional[jax.Array] = None  # (L, B, H, E)
+    mm_calibration: Optional[dict] = None  # {site: (L,) amax} (calibrate_mm)
 
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -68,10 +69,10 @@ class WanSelfAttention(nnx.Module):
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         self.num_heads = cfg.num_heads
         # QLinear == nnx.Linear params; obeys the opt-in int8 mm context
-        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
-        self.to_k = QLinear(dim, dim, use_bias=True, **kw)
-        self.to_v = QLinear(dim, dim, use_bias=True, **kw)
-        self.to_out = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_q = QLinear(dim, dim, use_bias=True, site="attn1.to_q", **kw)
+        self.to_k = QLinear(dim, dim, use_bias=True, site="attn1.to_k", **kw)
+        self.to_v = QLinear(dim, dim, use_bias=True, site="attn1.to_v", **kw)
+        self.to_out = QLinear(dim, dim, use_bias=True, site="attn1.to_out", **kw)
         self.norm_q = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
         self.norm_k = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
 
@@ -142,10 +143,10 @@ class WanCrossAttention(nnx.Module):
         self.num_heads = cfg.num_heads
         # video-length matmuls (q, out) obey the int8 mm context; the text
         # k/v projections are sequence-512 — negligible, kept bf16
-        self.to_q = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_q = QLinear(dim, dim, use_bias=True, site="attn2.to_q", **kw)
         self.to_k = nnx.Linear(dim, dim, use_bias=True, **kw)
         self.to_v = nnx.Linear(dim, dim, use_bias=True, **kw)
-        self.to_out = QLinear(dim, dim, use_bias=True, **kw)
+        self.to_out = QLinear(dim, dim, use_bias=True, site="attn2.to_out", **kw)
         self.norm_q = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
         self.norm_k = RMSNorm(dim, cfg.eps, rngs=rngs) if cfg.qk_norm else None
         if cfg.image_dim is not None:
@@ -203,7 +204,7 @@ class WanBlock(nnx.Module):
             else FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
         )
         self.norm3 = FP32LayerNorm(dim, cfg.eps, affine=False, rngs=rngs)
-        self.ffn = GELUFeedForward(dim, cfg.ffn_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
+        self.ffn = GELUFeedForward(dim, cfg.ffn_dim, dtype=dtype, param_dtype=param_dtype, rngs=rngs, site_prefix="ffn")
         self.scale_shift_table = nnx.Param(
             jax.random.normal(rngs.params(), (1, 6, dim), jnp.float32) / dim**0.5
         )
@@ -249,18 +250,23 @@ class WanBlock(nnx.Module):
 
 class WanImageEmbedding(nnx.Module):
     """CLIP image-embed projection for I2V (diffusers WanImageEmbedding):
-    LayerNorm(in) -> FF(in -> dim, gelu, mult=1) -> LayerNorm(dim)."""
+    FP32LayerNorm(in) -> FF(in -> dim, mult=1) -> FP32LayerNorm(dim).
+
+    diffusers' FeedForward(activation_fn="gelu") is the EXACT gelu — only
+    the text embedder's "gelu_tanh" is the approximate one — and its
+    FP32LayerNorms keep torch's default eps=1e-5 (the block norms use the
+    model's 1e-6)."""
 
     def __init__(self, in_dim: int, dim: int, *, dtype, param_dtype, rngs: nnx.Rngs):
         kw = dict(dtype=dtype, param_dtype=param_dtype, rngs=rngs)
-        self.norm1 = nnx.LayerNorm(in_dim, rngs=rngs)
+        self.norm1 = FP32LayerNorm(in_dim, 1e-5, affine=True, rngs=rngs)
         self.proj_in = nnx.Linear(in_dim, in_dim, **kw)
         self.proj_out = nnx.Linear(in_dim, dim, **kw)
-        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.norm2 = FP32LayerNorm(dim, 1e-5, affine=True, rngs=rngs)
 
     def __call__(self, image_embeds: jax.Array) -> jax.Array:
         h = self.norm1(image_embeds)
-        h = self.proj_out(jax.nn.gelu(self.proj_in(h), approximate=True))
+        h = self.proj_out(jax.nn.gelu(self.proj_in(h), approximate=False))
         return self.norm2(h)
 
 
@@ -371,6 +377,8 @@ class WanModel(nnx.Module):
         frozen_sharded_axis: Optional[str] = None,
         remat_blocks: bool = False,
         quantized_blocks=None,
+        act_scales: Optional[dict] = None,
+        calibrate_mm: bool = False,
     ) -> WanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -444,7 +452,19 @@ class WanModel(nnx.Module):
         else:
             block_graphdef, block_state = nnx.split(self.blocks)
 
-        def run_block(carry, bstate):
+        # static int8 activation scales / calibration (ops/qmm.py): scales
+        # ride scan_xs so each block sees its own per-layer slice; recorded
+        # amaxes leave through the scan ys stacked per layer
+        from ..ops import qmm
+
+        scales_xs = (
+            {k: jnp.asarray(v, jnp.float32) for k, v in act_scales.items()}
+            if act_scales
+            else None
+        )
+
+        def run_block(carry, scan_in):
+            bstate, layer_scales = scan_in
             if frozen_sharded_axis is not None:
                 block: WanBlock = block_at(bstate)  # bstate is the layer index
             else:
@@ -454,10 +474,28 @@ class WanModel(nnx.Module):
                     bstate = dequantize_tree(bstate)
                 block: WanBlock = nnx.merge(block_graphdef, bstate)
             xs, xt, reg, hid = carry
-            xs, scores = block(
-                xs, ctx, temb6, temb, rope, attn_cfg, routing_mode,
-                image_context=image_context, interpret=interpret, sp_axis=sp_axis,
+            import contextlib as _cl
+
+            scale_scope = (
+                qmm.layer_act_scales(layer_scales)
+                if layer_scales is not None
+                else _cl.nullcontext()
             )
+            calib_sink: dict = {}
+            with scale_scope:
+                if calibrate_mm:
+                    with qmm.calibration_scope() as calib_sink:
+                        xs, scores = block(
+                            xs, ctx, temb6, temb, rope, attn_cfg, routing_mode,
+                            image_context=image_context, interpret=interpret,
+                            sp_axis=sp_axis,
+                        )
+                else:
+                    xs, scores = block(
+                        xs, ctx, temb6, temb, rope, attn_cfg, routing_mode,
+                        image_context=image_context, interpret=interpret,
+                        sp_axis=sp_axis,
+                    )
             if teacher:
                 xt_new, _ = block(
                     xt, ctx, temb6, temb, rope, attn_cfg, "off",
@@ -472,7 +510,7 @@ class WanModel(nnx.Module):
                 )
             if scores is None:
                 scores = jnp.zeros((b, cfg.num_heads, attn_cfg.num_experts), jnp.float32)
-            return (xs, xt, reg, hid), scores
+            return (xs, xt, reg, hid), (scores, calib_sink)
 
         if remat_blocks:
             # gradient checkpointing per block: without it the scan saves
@@ -487,8 +525,8 @@ class WanModel(nnx.Module):
             scan_xs = quantized_blocks
         else:
             scan_xs = block_state
-        (x, x_t, reg_loss, hidden_loss), all_scores = jax.lax.scan(
-            run_block, (x, x, zero, zero), scan_xs
+        (x, x_t, reg_loss, hidden_loss), (all_scores, mm_amax) = jax.lax.scan(
+            run_block, (x, x, zero, zero), (scan_xs, scales_xs)
         )
 
         # output head
@@ -515,6 +553,7 @@ class WanModel(nnx.Module):
             last_layer_distill_loss=last_loss,
             hidden_layer_distill_loss=hidden_loss if teacher else None,
             routing_scores=all_scores if return_scores else None,
+            mm_calibration=mm_amax if calibrate_mm else None,
         )
 
     def _unpatchify(self, out: jax.Array, b: int, grid: Tuple[int, int, int]) -> jax.Array:

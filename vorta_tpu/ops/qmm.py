@@ -24,9 +24,23 @@ vs 139 TF/s), but DYNAMIC quantization adds two extra passes over the
 activations (amax + quantize), which on the wide K=8960 out-projection
 costs nearly the whole MXU win (bf16 15.4 -> int8 14.6 ms; the K=1536
 in-projection keeps 14.6 -> 10.6).  Net e2e: routed denoise 3307 -> 3262 ms
-(~1.4%).  The headroom is STATIC activation scales (calibrated per tensor,
-quantize fused into the producing op, no extra passes) — meaningful only
-with real calibrated checkpoints, so this module keeps the dynamic scheme.
+(~1.4%).
+
+STATIC activation scales close that gap: with a per-(site, layer) scalar
+scale known at trace time there is no amax reduction, so XLA fuses the
+round/clip quantize into the producing op's epilogue — zero extra
+activation passes.  The flow:
+
+1. each QLinear carries a ``site`` label (e.g. "attn1.to_q"), shared by the
+   same projection across all scanned layers;
+2. calibration: run forwards under ``calibration_scope()`` — every QLinear
+   records max|x| per site; the model's block scan returns them stacked per
+   layer (``calibrate_mm=True``), and ``tools/calibrate_int8.py`` reduces
+   max over calibration batches into a ``{site: (num_layers,)}`` table;
+3. serving: the model threads the table through its block scan and sets the
+   per-layer scalar slice via ``layer_act_scales()`` around each block call;
+   QLinear uses the static scale when its site is present, falling back to
+   dynamic per-token scales otherwise.
 """
 
 from __future__ import annotations
@@ -41,6 +55,40 @@ from flax import nnx
 _MM_PRECISION: contextvars.ContextVar[str] = contextvars.ContextVar(
     "vorta_mm_precision", default="bf16"
 )
+# {site: scalar f32} — per-layer static activation scales, set at trace time
+# inside the model's block scan (layer_act_scales)
+_ACT_SCALES: contextvars.ContextVar = contextvars.ContextVar(
+    "vorta_act_scales", default=None
+)
+# {site: scalar f32 amax} — calibration sink; QLinear records max|x| here
+_CALIB: contextvars.ContextVar = contextvars.ContextVar(
+    "vorta_mm_calib", default=None
+)
+
+
+@contextlib.contextmanager
+def layer_act_scales(scales):
+    """Provide this layer's static activation scales ({site: scalar}) to the
+    QLinear calls traced under the context.  Used inside block scans: the
+    body is traced once, so the traced per-layer slice reaches every site."""
+    tok = _ACT_SCALES.set(scales)
+    try:
+        yield
+    finally:
+        _ACT_SCALES.reset(tok)
+
+
+@contextlib.contextmanager
+def calibration_scope():
+    """Collect per-site activation amax from QLinear calls traced under the
+    context.  Yields the sink dict {site: traced scalar f32}; same-site calls
+    within one scope max-reduce together."""
+    sink: dict = {}
+    tok = _CALIB.set(sink)
+    try:
+        yield sink
+    finally:
+        _CALIB.reset(tok)
 
 
 @contextlib.contextmanager
@@ -60,17 +108,20 @@ def current_mm_precision() -> str:
     return _MM_PRECISION.get()
 
 
-def int8_linear(x: jax.Array, kernel: jax.Array, bias=None) -> jax.Array:
-    """y = x @ kernel (+ bias) with dynamic symmetric int8 quantization.
+def int8_linear(x: jax.Array, kernel: jax.Array, bias=None, x_scale=None) -> jax.Array:
+    """y = x @ kernel (+ bias) with symmetric int8 quantization.
 
-    x: (..., K); kernel: (K, N).  Per-token (row) activation scales,
-    per-out-channel weight scales; accumulation in int32 on the MXU,
-    rescale in f32, output in x.dtype.
+    x: (..., K); kernel: (K, N).  Activation scales are per-token (row) when
+    dynamic, or the given STATIC per-tensor scalar ``x_scale`` (from
+    calibration — no amax pass, quantize fuses into the producer); weight
+    scales per-out-channel; accumulation in int32 on the MXU, rescale in
+    f32, output in x.dtype.
     """
     out_dtype = x.dtype
     xf = x.astype(jnp.float32)
-    x_amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    x_scale = jnp.maximum(x_amax, 1e-12) / 127.0
+    if x_scale is None:
+        x_amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        x_scale = jnp.maximum(x_amax, 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
 
     wf = kernel.astype(jnp.float32)
@@ -96,10 +147,27 @@ class QLinear(nnx.Linear):
     import, orbax checkpoints and the stacked-block quantized streaming all
     work unchanged; only the traced matmul differs when the int8 context is
     active at trace time.
+
+    ``site`` names this projection within its block (shared across scanned
+    layers) for the static-scale table; unnamed QLinears always use dynamic
+    per-token scales.
     """
 
+    def __init__(self, *args, site: str | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.site = site
+
     def __call__(self, x: jax.Array) -> jax.Array:  # type: ignore[override]
+        calib = _CALIB.get()
+        if calib is not None and self.site is not None:
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            prev = calib.get(self.site)
+            calib[self.site] = amax if prev is None else jnp.maximum(prev, amax)
         if _MM_PRECISION.get() == "int8":
             bias = self.bias.value if self.bias is not None else None
-            return int8_linear(x, self.kernel.value, bias)
+            scales = _ACT_SCALES.get()
+            x_scale = (
+                scales.get(self.site) if scales is not None and self.site else None
+            )
+            return int8_linear(x, self.kernel.value, bias, x_scale=x_scale)
         return super().__call__(x)

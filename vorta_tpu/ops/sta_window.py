@@ -17,7 +17,7 @@ is a pure dense flash-attention step, batched over the group's heads (batched
 dots have no inter-head dependency, which keeps the MXU pipeline full — the
 single-head variant measured only 62% MXU utilization from dependency stalls).
 
-Mosaic constraints honored (probed on real TPU, tools/test_boxdma.py):
+Mosaic constraints honored (probed on real TPU with a throwaway DMA probe):
   * box DMA offsets/sizes on the second-to-last dim (W) must be multiples of
     the 8-sublane tiling.  tile_w % 8 geometries (Wan 720p tile [5,9,8],
     Hunyuan [6,8,8]) read exact windows; misaligned tile_w reads an

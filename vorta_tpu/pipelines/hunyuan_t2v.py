@@ -47,12 +47,16 @@ class HunyuanT2VPipeline:
         interpret: bool = False,
         mesh=None,
         vae=None,
+        act_scales: Optional[dict] = None,
     ):
         self.model = model
         self.attn_cfg = attn_cfg
         self.interpret = interpret
         self.mesh = mesh
         self.vae = vae
+        # {site: (L,) static activation scales} for mm_precision="int8"
+        # (ops/qmm.py; produced by tools/calibrate_int8.py)
+        self.act_scales = act_scales
         self._loop_cache = {}
 
     def prepare_latents(self, key, batch: int, frames: int, height: int, width: int):
@@ -83,6 +87,7 @@ class HunyuanT2VPipeline:
         interpret = self.interpret
         routing_mode = sampling.routing_mode
         mm = sampling.mm_precision
+        act_scales = self.act_scales
         guidance_value = float(sampling.guidance_scale) * 1000.0
         do_cfg = sampling.true_cfg_scale > 1.0
         cfg_scale = float(sampling.true_cfg_scale)
@@ -102,7 +107,7 @@ class HunyuanT2VPipeline:
                 out = model(
                     x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
                     attn_cfg=attn_cfg, routing_mode=routing_mode, interpret=interpret,
-                    mm_precision=mm,
+                    mm_precision=mm, act_scales=act_scales,
                 )
                 v = out.sample.astype(jnp.float32)
                 if do_cfg:
@@ -110,7 +115,7 @@ class HunyuanT2VPipeline:
                         x.astype(model.dtype), t, neg_text, mask, neg_pooled,
                         guidance=guidance, attn_cfg=attn_cfg,
                         routing_mode=routing_mode, interpret=interpret,
-                        mm_precision=mm,
+                        mm_precision=mm, act_scales=act_scales,
                     ).sample.astype(jnp.float32)
                     v = vu + cfg_scale * (v - vu)
                 if use_unipc:
@@ -147,7 +152,7 @@ class HunyuanT2VPipeline:
             out = model(
                 x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
-                interpret=interpret, sp_axis="sp", mm_precision=mm,
+                interpret=interpret, sp_axis="sp", mm_precision=mm, act_scales=act_scales,
             )
             v = out.sample.astype(jnp.float32)
             if do_cfg:
@@ -155,7 +160,7 @@ class HunyuanT2VPipeline:
                     x.astype(model.dtype), t, neg_text, mask, neg_pooled,
                     guidance=guidance, attn_cfg=attn_cfg,
                     routing_mode=routing_mode, interpret=interpret, sp_axis="sp",
-                    mm_precision=mm,
+                    mm_precision=mm, act_scales=act_scales,
                 ).sample.astype(jnp.float32)
                 v = vu + cfg_scale * (v - vu)
             return v

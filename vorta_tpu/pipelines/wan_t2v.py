@@ -52,11 +52,15 @@ class WanT2VPipeline:
         attn_cfg: Optional[AttentionConfig] = None,
         interpret: bool = False,
         mesh=None,
+        act_scales: Optional[dict] = None,
     ):
         self.model = model
         self.attn_cfg = attn_cfg
         self.interpret = interpret
         self.mesh = mesh
+        # {site: (L,) static activation scales} for mm_precision="int8"
+        # (ops/qmm.py; produced by tools/calibrate_int8.py)
+        self.act_scales = act_scales
         self._loop_cache = {}
 
     def prepare_latents(self, key: jax.Array, batch: int, frames: int, height: int, width: int):
@@ -86,6 +90,7 @@ class WanT2VPipeline:
         do_cfg = sampling.guidance_scale > 1.0
         routing_mode = sampling.routing_mode
         mm = sampling.mm_precision
+        act_scales = self.act_scales
         return_scores = sampling.return_scores
 
         @nnx.jit
@@ -108,7 +113,7 @@ class WanT2VPipeline:
                     return_scores=return_scores,
                     image_context=image_embeds,
                     interpret=interpret,
-                    mm_precision=mm,
+                    mm_precision=mm, act_scales=act_scales,
                 )
                 velocity = out.sample.astype(jnp.float32)
                 if do_cfg:
@@ -123,7 +128,7 @@ class WanT2VPipeline:
                         routing_mode=routing_mode,
                         image_context=image_embeds,
                         interpret=interpret,
-                        mm_precision=mm,
+                        mm_precision=mm, act_scales=act_scales,
                     )
                     vu = out_u.sample.astype(jnp.float32)
                     velocity = vu + guidance_scale * (velocity - vu)
@@ -161,7 +166,7 @@ class WanT2VPipeline:
                 x.astype(model.dtype), t, pe,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
                 image_context=img, interpret=interpret, sp_axis="sp",
-                mm_precision=mm,
+                mm_precision=mm, act_scales=act_scales,
             )
             v = out.sample.astype(jnp.float32)
             if do_cfg:
@@ -169,7 +174,7 @@ class WanT2VPipeline:
                     x.astype(model.dtype), t, ne,
                     attn_cfg=attn_cfg, routing_mode=routing_mode,
                     image_context=img, interpret=interpret, sp_axis="sp",
-                    mm_precision=mm,
+                    mm_precision=mm, act_scales=act_scales,
                 ).sample.astype(jnp.float32)
                 v = vu + guidance_scale * (v - vu)
             return v
