@@ -223,6 +223,7 @@ def setup():
     tree = hunyuan_state_dict_to_tree(
         {k: v.numpy() for k, v in sd.items()},
         CFG.dual_layers, CFG.single_layers, CFG.refiner_layers,
+        CFG.head_dim,
     )
     graphdef, state = nnx.split(model)
     applied, missing = _apply_tree(state, tree)

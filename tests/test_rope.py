@@ -48,3 +48,36 @@ def test_apply_rope_preserves_norm():
         np.linalg.norm(np.asarray(x), axis=-1),
         rtol=1e-5,
     )
+
+
+def test_apply_rope_half_equals_interleaved_after_perm():
+    from vorta_tpu.ops.rope import apply_rope_half, half_perm, permute_qk_to_half
+
+    rng = np.random.default_rng(3)
+    latent, d = (2, 3, 4), 16
+    x = rng.normal(size=(2, 3, 24, d)).astype(np.float32)
+    cos, sin = rope_cos_sin(latent, d)
+    want = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(cos), jnp.asarray(sin)))
+    p = half_perm(d)
+    got = np.asarray(
+        apply_rope_half(jnp.asarray(x[..., p]), jnp.asarray(cos), jnp.asarray(sin))
+    )
+    np.testing.assert_allclose(got, want[..., p], rtol=1e-6, atol=1e-6)
+
+
+def test_permute_qk_to_half_blocks_and_dot_invariance():
+    from vorta_tpu.ops.rope import half_perm, permute_qk_to_half
+
+    rng = np.random.default_rng(4)
+    d, heads = 8, 3
+    w = rng.normal(size=(5, heads * d)).astype(np.float32)
+    pw = permute_qk_to_half(w, d, axis=-1)
+    p = half_perm(d)
+    for h in range(heads):
+        np.testing.assert_array_equal(pw[:, h * d : (h + 1) * d], w[:, h * d + p])
+    # q . k over the channel dim is invariant under the shared permutation
+    q = rng.normal(size=(heads * d,)).astype(np.float32)
+    k = rng.normal(size=(heads * d,)).astype(np.float32)
+    qp = permute_qk_to_half(q, d)
+    kp = permute_qk_to_half(k, d)
+    np.testing.assert_allclose(qp @ kp, q @ k, rtol=1e-6)

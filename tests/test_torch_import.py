@@ -215,7 +215,7 @@ def torch_sd():
 
 def test_state_dict_tree_shapes(torch_sd):
     sd_np = {k: v.numpy() for k, v in torch_sd.items()}
-    tree = wan_state_dict_to_tree(sd_np, CFG.num_layers)
+    tree = wan_state_dict_to_tree(sd_np, CFG.num_layers, CFG.head_dim)
     assert tree["patch_embedding"]["kernel"].shape == (1, 2, 2, CFG.in_channels, CFG.dim)
     assert tree["blocks"]["attn1"]["to_q"]["kernel"].shape == (CFG.num_layers, CFG.dim, CFG.dim)
     assert tree["blocks"]["scale_shift_table"].shape == (CFG.num_layers, 1, 6, CFG.dim)

@@ -71,9 +71,23 @@ def _stack(blocks):
     return out
 
 
-def wan_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
+def _perm_half(d: dict, head_dim: int) -> dict:
+    """Permute a q/k projection's output channels (kernel cols + bias) or a
+    qk-norm's gains from the interleaved-pair to the contiguous-half RoPE
+    layout (ops/rope.py) — the models apply ``apply_rope_half`` internally,
+    which is bit-identical to interleaved RoPE under this permutation."""
+    from ..ops.rope import permute_qk_to_half
+
+    return {k: permute_qk_to_half(v, head_dim, axis=-1) for k, v in d.items()}
+
+
+def wan_state_dict_to_tree(
+    sd: Dict[str, np.ndarray], num_layers: int, head_dim: int = 128
+) -> dict:
     """diffusers WanTransformer3DModel state_dict -> pure dict matching our
-    WanModel parameter tree (missing router keys are simply absent)."""
+    WanModel parameter tree (missing router keys are simply absent).
+
+    ``head_dim`` drives the self-attention q/k half-RoPE permutation."""
     tree: dict = {}
 
     conv_w = _f32(sd["patch_embedding.weight"])  # (dim, in, kt, kh, kw)
@@ -107,16 +121,20 @@ def wan_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
             },
         }
 
-    def attn(prefix, has_added_kv):
+    def attn(prefix, has_added_kv, rope_half=False):
+        # rope_half: self-attention q/k (and their norm gains) move to the
+        # contiguous-half RoPE column layout; cross-attention stays as-is
+        # (no RoPE — q and k just need to agree, which untouched does)
+        perm = (lambda d: _perm_half(d, head_dim)) if rope_half else (lambda d: d)
         d = {
-            "to_q": _linear(sd, f"{prefix}.to_q"),
-            "to_k": _linear(sd, f"{prefix}.to_k"),
+            "to_q": perm(_linear(sd, f"{prefix}.to_q")),
+            "to_k": perm(_linear(sd, f"{prefix}.to_k")),
             "to_v": _linear(sd, f"{prefix}.to_v"),
             "to_out": _linear(sd, f"{prefix}.to_out.0"),
         }
         if f"{prefix}.norm_q.weight" in sd:
-            d["norm_q"] = {"weight": _f32(sd[f"{prefix}.norm_q.weight"])}
-            d["norm_k"] = {"weight": _f32(sd[f"{prefix}.norm_k.weight"])}
+            d["norm_q"] = perm({"weight": _f32(sd[f"{prefix}.norm_q.weight"])})
+            d["norm_k"] = perm({"weight": _f32(sd[f"{prefix}.norm_k.weight"])})
         if has_added_kv and f"{prefix}.add_k_proj.weight" in sd:
             d["add_k_proj"] = _linear(sd, f"{prefix}.add_k_proj")
             d["add_v_proj"] = _linear(sd, f"{prefix}.add_v_proj")
@@ -127,7 +145,7 @@ def wan_state_dict_to_tree(sd: Dict[str, np.ndarray], num_layers: int) -> dict:
     for i in range(num_layers):
         p = f"blocks.{i}"
         blk = {
-            "attn1": attn(f"{p}.attn1", has_added_kv=False),
+            "attn1": attn(f"{p}.attn1", has_added_kv=False, rope_half=True),
             "attn2": attn(f"{p}.attn2", has_added_kv=True),
             "ffn": {
                 "proj_in": _linear(sd, f"{p}.ffn.net.0.proj"),
@@ -186,7 +204,7 @@ def load_wan_torch_weights(model, path, strict_shapes: bool = True):
     """Import diffusers Wan weights (and router keys if present) into model."""
     cfg = model.cfg
     sd = load_state_dict(path)
-    tree = wan_state_dict_to_tree(sd, cfg.num_layers)
+    tree = wan_state_dict_to_tree(sd, cfg.num_layers, cfg.head_dim)
     graphdef, state = nnx.split(model)
     applied, missing = _apply_tree(state, tree)
     nnx.update(model, state)
@@ -194,8 +212,14 @@ def load_wan_torch_weights(model, path, strict_shapes: bool = True):
 
 
 def hunyuan_state_dict_to_tree(sd: Dict[str, np.ndarray], dual_layers: int,
-                               single_layers: int, refiner_layers: int) -> dict:
-    """diffusers HunyuanVideoTransformer3DModel state_dict -> our tree."""
+                               single_layers: int, refiner_layers: int,
+                               head_dim: int = 128) -> dict:
+    """diffusers HunyuanVideoTransformer3DModel state_dict -> our tree.
+
+    ``head_dim`` drives the joint-attention q/k half-RoPE permutation (both
+    the video projections and the no-RoPE text projections, which must share
+    the video side's channel relabeling for the joint q·k dots); the token
+    refiner's attention has no RoPE and stays unpermuted."""
     tree: dict = {}
     conv_w = _f32(sd["x_embedder.proj.weight"])  # (dim, in, kt, kh, kw)
     tree["x_embedder"] = {
@@ -248,6 +272,9 @@ def hunyuan_state_dict_to_tree(sd: Dict[str, np.ndarray], dual_layers: int,
     def rms(prefix):
         return {"weight": _f32(sd[f"{prefix}.weight"])}
 
+    def ph(d):
+        return _perm_half(d, head_dim)
+
     duals = []
     for i in range(dual_layers):
         p = f"transformer_blocks.{i}"
@@ -255,16 +282,16 @@ def hunyuan_state_dict_to_tree(sd: Dict[str, np.ndarray], dual_layers: int,
             "norm1_mod": {"linear": _linear(sd, f"{p}.norm1.linear")},
             "norm1_context_mod": {"linear": _linear(sd, f"{p}.norm1_context.linear")},
             "attn": {
-                "to_q": _linear(sd, f"{p}.attn.to_q"),
-                "to_k": _linear(sd, f"{p}.attn.to_k"),
+                "to_q": ph(_linear(sd, f"{p}.attn.to_q")),
+                "to_k": ph(_linear(sd, f"{p}.attn.to_k")),
                 "to_v": _linear(sd, f"{p}.attn.to_v"),
-                "add_q_proj": _linear(sd, f"{p}.attn.add_q_proj"),
-                "add_k_proj": _linear(sd, f"{p}.attn.add_k_proj"),
+                "add_q_proj": ph(_linear(sd, f"{p}.attn.add_q_proj")),
+                "add_k_proj": ph(_linear(sd, f"{p}.attn.add_k_proj")),
                 "add_v_proj": _linear(sd, f"{p}.attn.add_v_proj"),
-                "norm_q": rms(f"{p}.attn.norm_q"),
-                "norm_k": rms(f"{p}.attn.norm_k"),
-                "norm_added_q": rms(f"{p}.attn.norm_added_q"),
-                "norm_added_k": rms(f"{p}.attn.norm_added_k"),
+                "norm_q": ph(rms(f"{p}.attn.norm_q")),
+                "norm_k": ph(rms(f"{p}.attn.norm_k")),
+                "norm_added_q": ph(rms(f"{p}.attn.norm_added_q")),
+                "norm_added_k": ph(rms(f"{p}.attn.norm_added_k")),
                 "to_out": _linear(sd, f"{p}.attn.to_out.0"),
                 "to_add_out": _linear(sd, f"{p}.attn.to_add_out"),
             },
@@ -287,11 +314,11 @@ def hunyuan_state_dict_to_tree(sd: Dict[str, np.ndarray], dual_layers: int,
         singles.append({
             "norm_mod": {"linear": _linear(sd, f"{p}.norm.linear")},
             "attn": {
-                "to_q": _linear(sd, f"{p}.attn.to_q"),
-                "to_k": _linear(sd, f"{p}.attn.to_k"),
+                "to_q": ph(_linear(sd, f"{p}.attn.to_q")),
+                "to_k": ph(_linear(sd, f"{p}.attn.to_k")),
                 "to_v": _linear(sd, f"{p}.attn.to_v"),
-                "norm_q": rms(f"{p}.attn.norm_q"),
-                "norm_k": rms(f"{p}.attn.norm_k"),
+                "norm_q": ph(rms(f"{p}.attn.norm_q")),
+                "norm_k": ph(rms(f"{p}.attn.norm_k")),
             },
             "proj_mlp": _linear(sd, f"{p}.proj_mlp"),
             "proj_out": _linear(sd, f"{p}.proj_out"),
@@ -310,7 +337,8 @@ def load_hunyuan_torch_weights(model, path):
     cfg = model.cfg
     sd = load_state_dict(path)
     tree = hunyuan_state_dict_to_tree(
-        sd, cfg.dual_layers, cfg.single_layers, cfg.refiner_layers
+        sd, cfg.dual_layers, cfg.single_layers, cfg.refiner_layers,
+        cfg.head_dim,
     )
     graphdef, state = nnx.split(model)
     applied, missing = _apply_tree(state, tree)

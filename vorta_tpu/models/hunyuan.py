@@ -33,7 +33,7 @@ from flax import nnx
 from ..config import AttentionConfig
 from ..ops.attention_ref import attention_dense
 from ..ops.joint_experts import JointConfig, routed_joint_attention
-from ..ops.rope import apply_rope
+from ..ops.rope import apply_rope_half
 from ..ops.qmm import QLinear
 from .common import FP32LayerNorm, GELUFeedForward, TimestepEmbedding, sinusoidal_timestep_embedding
 from .router import Router
@@ -216,8 +216,8 @@ class HunyuanJointAttention(nnx.Module):
         kt = self.norm_added_k(_split_heads(self.add_k_proj(ctx), h))
         vt = _split_heads(self.add_v_proj(ctx), h)
         cos, sin = rope  # local slices when sequence-parallel
-        qv = apply_rope(qv, cos, sin)
-        kv_ = apply_rope(kv_, cos, sin)
+        qv = apply_rope_half(qv, cos, sin)
+        kv_ = apply_rope_half(kv_, cos, sin)
 
         if sp_axis is not None:
             qv, kv_, vv, qt, kt, vt, scores = _sp_joint_in(
@@ -255,8 +255,8 @@ class HunyuanSingleAttention(nnx.Module):
         kv_, kt = k[:, :, :video_len], k[:, :, video_len:]
         vv, vt = v[:, :, :video_len], v[:, :, video_len:]
         cos, sin = rope  # local slices when sequence-parallel
-        qv = apply_rope(qv, cos, sin)
-        kv_ = apply_rope(kv_, cos, sin)
+        qv = apply_rope_half(qv, cos, sin)
+        kv_ = apply_rope_half(kv_, cos, sin)
         if sp_axis is not None:
             qv, kv_, vv, qt, kt, vt, scores = _sp_joint_in(
                 qv, kv_, vv, qt, kt, vt, scores, sp_axis

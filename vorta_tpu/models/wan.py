@@ -86,7 +86,7 @@ class WanSelfAttention(nnx.Module):
         interpret: bool = False,
         sp_axis: Optional[str] = None,
     ) -> jax.Array:
-        from ..ops.rope import apply_rope
+        from ..ops.rope import apply_rope_half
 
         q = self.to_q(x)
         k = self.to_k(x)
@@ -97,9 +97,11 @@ class WanSelfAttention(nnx.Module):
         q = _split_heads(q, self.num_heads)
         k = _split_heads(k, self.num_heads)
         v = _split_heads(v, self.num_heads)
+        # contiguous-half RoPE: to_q/to_k columns (and qk-norm gains) are in
+        # the half-permuted layout — see ops/rope.py permute_qk_to_half
         cos, sin = rope  # local slices when sequence-parallel
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
 
         if sp_axis is not None:
             # Ulysses reshard: full sequence, 1/P of the heads per rank

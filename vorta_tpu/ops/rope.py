@@ -91,3 +91,50 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     out_odd = even * sin + odd * cos
     out = jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
     return out.astype(orig_dtype)
+
+
+def half_perm(head_dim: int) -> np.ndarray:
+    """Permutation from the interleaved-pair layout to the contiguous-half
+    layout: ``x_half = x_interleaved[..., half_perm(d)]`` puts pair members
+    (2k, 2k+1) at positions (k, k + d//2)."""
+    return np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+
+
+def permute_qk_to_half(arr: np.ndarray, head_dim: int, axis: int = -1) -> np.ndarray:
+    """Permute per-head blocks of size ``head_dim`` along ``axis`` from the
+    interleaved-pair to the contiguous-half RoPE layout.
+
+    Used at weight import: permuting a q/k projection's output channels (and
+    the matching qk-norm gains) this way makes ``apply_rope_half`` compute
+    bit-identical attention to interleaved RoPE on unpermuted weights — the
+    q·k dot is invariant to any shared channel permutation, and channels
+    that never receive RoPE (text tokens in joint attention) are simply
+    relabeled consistently on both q and k.
+    """
+    n = arr.shape[axis]
+    assert n % head_dim == 0, (n, head_dim)
+    p = half_perm(head_dim)
+    idx = (np.arange(n // head_dim)[:, None] * head_dim + p[None, :]).reshape(-1)
+    return np.take(arr, idx, axis=axis)
+
+
+def apply_rope_half(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate contiguous halves of the last dim of (..., S, D).
+
+    Equivalent to ``apply_rope`` after permuting the last dim with
+    ``half_perm(D)`` (pair (2k, 2k+1) lives at (k, k + D//2)):
+      out[k]        = x[k] * cos_k - x[k + D/2] * sin_k
+      out[k + D/2]  = x[k] * sin_k + x[k + D/2] * cos_k
+    Contiguous 64-lane halves replace stride-2 lane shuffles, which is much
+    cheaper on the TPU VPU; the models use this convention internally and
+    the torch importer permutes q/k projection columns to compensate.
+    """
+    orig_dtype = x.dtype
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., : d // 2]
+    x2 = xf[..., d // 2 :]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return out.astype(orig_dtype)
