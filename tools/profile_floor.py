@@ -91,6 +91,45 @@ def main():
 
     timed("one_residual_add", residual, x)
 
+    # qk prologue in isolation: rms-norm(full dim) -> head split -> rope,
+    # for q and k, plus the v split (self-attention input prep net of the
+    # projections).  "_half" is the live contiguous-half convention;
+    # "_interleaved" the pre-permutation stride-2 one it replaced.
+    from vorta_tpu.ops.rope import apply_rope, apply_rope_half, rope_cos_sin as _rcs
+
+    cos_np, sin_np = _rcs(attn.latent_shape, cfg.head_dim, cfg.rope_theta)
+    cos_, sin_ = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    nheads = cfg.num_heads
+    gamma = jnp.ones((d,), jnp.float32)
+
+    def mk_qk_prep(rope_fn):
+        def f(c, i, x):
+            h = perturb(x, i)
+            outs = []
+            for t in (h, h * 1.0001):  # q and k
+                tf = t.astype(jnp.float32)
+                n = (tf * jax.lax.rsqrt(
+                    jnp.mean(jnp.square(tf), -1, keepdims=True) + 1e-6
+                ) * gamma).astype(t.dtype)
+                s4 = n.reshape(b, -1, nheads, cfg.head_dim).transpose(0, 2, 1, 3)
+                outs.append(rope_fn(s4, cos_, sin_))
+            vsplit = h.reshape(b, -1, nheads, cfg.head_dim).transpose(0, 2, 1, 3)
+            return c + (outs[0] + outs[1] + vsplit).astype(jnp.float32).mean()
+        return f
+
+    timed("qk_prep_half", mk_qk_prep(apply_rope_half), x)
+    timed("qk_prep_interleaved", mk_qk_prep(apply_rope), x)
+
+    # the head merge on the way out
+    x4 = jax.random.normal(jax.random.PRNGKey(7), (b, nheads, s, cfg.head_dim),
+                           jnp.bfloat16)
+
+    def merge_only(c, i, x4):
+        m = perturb(x4, i).transpose(0, 2, 1, 3).reshape(b, -1, d)
+        return c + m.astype(jnp.float32).mean()
+
+    timed("merge_heads", merge_only, x4)
+
     # real block (hard routing, trained-mix head split emulated 5L/7S)
     from vorta_tpu.models.wan import WanBlock
     from vorta_tpu.ops.rope import rope_cos_sin
