@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
                    help="int8: W8A8 serving mode for block FFN/projections "
                         "(~2x MXU rate, small quality trade; ops/qmm.py)")
+    p.add_argument("--cfg_batch", action="store_true",
+                   help="run CFG cond+uncond as one batch-2 forward "
+                        "(2x activation memory, fewer dispatch gaps)")
     p.add_argument("--act_scales", default=None,
                    help="npz of calibrated static activation scales "
                         "(tools/calibrate_int8.py) — removes the dynamic "
@@ -281,6 +284,7 @@ def main(argv=None):
         scheduler=args.scheduler or "unipc",  # reference wan default
         routing_mode="off" if args.native_attention else "hard",
         mm_precision=args.mm,
+        cfg_batch=args.cfg_batch,
     )
 
     vae = None
@@ -457,6 +461,7 @@ def _main_hunyuan(args, interpret):
         scheduler=args.scheduler or "euler",  # reference hunyuan default
         routing_mode="off" if args.native_attention else "hard",
         mm_precision=args.mm,
+        cfg_batch=args.cfg_batch,
     )
 
     def generate(text, mask, pooled, out):

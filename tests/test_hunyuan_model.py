@@ -99,3 +99,19 @@ def test_hunyuan_pipeline_end_to_end(model, inputs):
     )
     assert out.shape == latents.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_hunyuan_cfg_batch_matches_sequential(model, inputs):
+    from vorta_tpu.pipelines.hunyuan_t2v import HunyuanSamplingConfig, HunyuanT2VPipeline
+
+    latents, t, text, mask, pooled = inputs
+    pipe = HunyuanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    noise = pipe.prepare_latents(jax.random.PRNGKey(2), 1, 13, 64, 128)
+    neg = jax.random.normal(jax.random.PRNGKey(3), text.shape)
+    kw = dict(num_inference_steps=2, routing_mode="hard", true_cfg_scale=3.0)
+    ref = pipe(noise, text, mask, pooled, neg, sampling=HunyuanSamplingConfig(**kw))
+    got = pipe(noise, text, mask, pooled, neg,
+               sampling=HunyuanSamplingConfig(cfg_batch=True, **kw))
+    rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert rel < 1e-3, rel

@@ -134,3 +134,18 @@ def test_pipeline_static_int8_scales(model):
     rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
                 / np.linalg.norm(np.asarray(ref)))
     assert rel < 0.1, rel
+
+
+def test_cfg_batch_matches_sequential(model):
+    """cfg_batch=True (one batch-2 forward) == two sequential CFG forwards."""
+    pipe = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    latents = pipe.prepare_latents(jax.random.PRNGKey(5), 1, 13, 64, 64)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    ne = jax.random.normal(jax.random.PRNGKey(2), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    kw = dict(num_inference_steps=2, guidance_scale=5.0, routing_mode="hard")
+    ref, _ = pipe(latents, pe, ne, sampling=SamplingConfig(**kw))
+    got, _ = pipe(latents, pe, ne, sampling=SamplingConfig(cfg_batch=True, **kw))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+    rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert rel < 1e-3, rel

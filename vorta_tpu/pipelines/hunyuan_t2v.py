@@ -37,6 +37,9 @@ class HunyuanSamplingConfig:
     routing_mode: str = "off"  # off | hard
     mm_precision: str = "bf16"  # bf16 | int8 (W8A8 serving mode, ops/qmm.py)
     scheduler: str = "euler"  # euler (reference hunyuan default) | unipc
+    # run the true-CFG cond+uncond passes as ONE batch-2B forward (see
+    # wan_t2v.SamplingConfig.cfg_batch); no effect without true_cfg_scale > 1
+    cfg_batch: bool = False
 
 
 class HunyuanT2VPipeline:
@@ -91,6 +94,7 @@ class HunyuanT2VPipeline:
         guidance_value = float(sampling.guidance_scale) * 1000.0
         do_cfg = sampling.true_cfg_scale > 1.0
         cfg_scale = float(sampling.true_cfg_scale)
+        cfg_batch = sampling.cfg_batch and do_cfg
 
         @nnx.jit
         def run(model: HunyuanModel, latents, text, mask, pooled, neg_text, neg_pooled):
@@ -104,13 +108,29 @@ class HunyuanT2VPipeline:
                 b = x.shape[0]
                 t = jnp.full((b,), timesteps[i])
                 guidance = jnp.full((b,), guidance_value)
-                out = model(
-                    x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
-                    attn_cfg=attn_cfg, routing_mode=routing_mode, interpret=interpret,
-                    mm_precision=mm, act_scales=act_scales,
-                )
-                v = out.sample.astype(jnp.float32)
-                if do_cfg:
+                if cfg_batch:
+                    out = model(
+                        jnp.concatenate([x, x]).astype(model.dtype),
+                        jnp.concatenate([t, t]),
+                        jnp.concatenate([text, neg_text]),
+                        jnp.concatenate([mask, mask]),
+                        jnp.concatenate([pooled, neg_pooled]),
+                        guidance=jnp.concatenate([guidance, guidance]),
+                        attn_cfg=attn_cfg, routing_mode=routing_mode,
+                        interpret=interpret,
+                        mm_precision=mm, act_scales=act_scales,
+                    )
+                    vc = out.sample[:b].astype(jnp.float32)
+                    vu = out.sample[b:].astype(jnp.float32)
+                    v = vu + cfg_scale * (vc - vu)
+                else:
+                    out = model(
+                        x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
+                        attn_cfg=attn_cfg, routing_mode=routing_mode, interpret=interpret,
+                        mm_precision=mm, act_scales=act_scales,
+                    )
+                    v = out.sample.astype(jnp.float32)
+                if do_cfg and not cfg_batch:
                     vu = model(
                         x.astype(model.dtype), t, neg_text, mask, neg_pooled,
                         guidance=guidance, attn_cfg=attn_cfg,

@@ -34,6 +34,10 @@ class SamplingConfig:
     mm_precision: str = "bf16"  # bf16 | int8 (W8A8 serving mode, ops/qmm.py)
     scheduler: str = "unipc"  # unipc (reference inference default) | euler
     return_scores: bool = False
+    # run the CFG cond+uncond passes as ONE batch-2B forward instead of two
+    # sequential forwards: same math, ~halves per-step launch/scheduling
+    # overhead and doubles matmul batch (costs 2x activation memory)
+    cfg_batch: bool = False
 
 
 class WanT2VPipeline:
@@ -88,6 +92,7 @@ class WanT2VPipeline:
         interpret = self.interpret
         guidance_scale = float(sampling.guidance_scale)
         do_cfg = sampling.guidance_scale > 1.0
+        cfg_batch = sampling.cfg_batch and do_cfg
         routing_mode = sampling.routing_mode
         mm = sampling.mm_precision
         act_scales = self.act_scales
@@ -104,19 +109,40 @@ class WanT2VPipeline:
             def step(model: WanModel, carry, i):
                 x, m_prev, m_prev2, x_prev = carry
                 t = jnp.full((x.shape[0],), timesteps[i])
-                out = model(
-                    x.astype(model.dtype),
-                    t,
-                    prompt_embeds,
-                    attn_cfg=attn_cfg,
-                    routing_mode=routing_mode,
-                    return_scores=return_scores,
-                    image_context=image_embeds,
-                    interpret=interpret,
-                    mm_precision=mm, act_scales=act_scales,
-                )
-                velocity = out.sample.astype(jnp.float32)
-                if do_cfg:
+                if cfg_batch:
+                    # one batch-2B forward: [cond | uncond]
+                    out = model(
+                        jnp.concatenate([x, x]).astype(model.dtype),
+                        jnp.concatenate([t, t]),
+                        jnp.concatenate([prompt_embeds, negative_prompt_embeds]),
+                        attn_cfg=attn_cfg,
+                        routing_mode=routing_mode,
+                        return_scores=return_scores,
+                        image_context=(
+                            jnp.concatenate([image_embeds, image_embeds])
+                            if image_embeds is not None else None
+                        ),
+                        interpret=interpret,
+                        mm_precision=mm, act_scales=act_scales,
+                    )
+                    bb = x.shape[0]
+                    vc = out.sample[:bb].astype(jnp.float32)
+                    vu = out.sample[bb:].astype(jnp.float32)
+                    velocity = vu + guidance_scale * (vc - vu)
+                else:
+                    out = model(
+                        x.astype(model.dtype),
+                        t,
+                        prompt_embeds,
+                        attn_cfg=attn_cfg,
+                        routing_mode=routing_mode,
+                        return_scores=return_scores,
+                        image_context=image_embeds,
+                        interpret=interpret,
+                        mm_precision=mm, act_scales=act_scales,
+                    )
+                    velocity = out.sample.astype(jnp.float32)
+                if do_cfg and not cfg_batch:
                     # image conditioning stays on for the uncond pass
                     # (reference I2V: encoder image tokens are not dropped
                     # for CFG — vorta/attention/wan.py:119-139)
@@ -162,6 +188,22 @@ class WanT2VPipeline:
 
         def velocity_fn(state, x, pe, ne, img, t):
             model = nnx.merge(graphdef, state)
+            if cfg_batch:
+                out = model(
+                    jnp.concatenate([x, x]).astype(model.dtype),
+                    jnp.concatenate([t, t]),
+                    jnp.concatenate([pe, ne]),
+                    attn_cfg=attn_cfg, routing_mode=routing_mode,
+                    image_context=(
+                        jnp.concatenate([img, img]) if img is not None else None
+                    ),
+                    interpret=interpret, sp_axis="sp",
+                    mm_precision=mm, act_scales=act_scales,
+                )
+                bb = x.shape[0]
+                vc = out.sample[:bb].astype(jnp.float32)
+                vu = out.sample[bb:].astype(jnp.float32)
+                return vu + guidance_scale * (vc - vu)
             out = model(
                 x.astype(model.dtype), t, pe,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
