@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--guidance_scale", type=float, default=5.0)
     p.add_argument("--flow_shift", type=float, default=5.0)
     p.add_argument("--tau_sparse", type=float, default=0.3)
+    p.add_argument("--cfg_batch", action="store_true",
+                   help="CFG cond+uncond as one batch-2 forward (both arms)")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--output_dir", default="results/compare")
     p.add_argument("--tau_sweep", default=None,
@@ -123,6 +125,7 @@ def main(argv=None):
             flow_shift=args.flow_shift,
             routing_mode=mode,
             return_scores=mode == "hard",
+            cfg_batch=args.cfg_batch,
         )
         # the fixed-seed sample (for the PSNR comparison)
         latents, scores = pipe(noise, pe, ne, sampling=sampling)
@@ -171,6 +174,7 @@ def main(argv=None):
                 flow_shift=args.flow_shift,
                 routing_mode="hard",
                 return_scores=True,
+                cfg_batch=args.cfg_batch,
             )
             lat_t, scores_t = pipe_t(noise, pe, ne, sampling=sampling)
             lat_t.block_until_ready()

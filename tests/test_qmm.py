@@ -64,3 +64,52 @@ def test_wan_model_int8_mode_close():
     assert not np.array_equal(np.asarray(got), np.asarray(ref))
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 0.05, rel
+
+
+def test_fused_linear_matches_separate_all_precisions():
+    import jax
+    from flax import nnx
+    from vorta_tpu.ops.qmm import QLinear, fused_linear, mm_precision
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 10, 32)), jnp.float32)
+    ls = [
+        QLinear(32, n, site=s, rngs=nnx.Rngs(i))
+        for i, (n, s) in enumerate([(16, "a.q"), (16, "a.k"), (24, None)])
+    ]
+    want = [l(x) for l in ls]
+    got = fused_linear(x, ls)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-6)
+
+    with mm_precision("int8"):
+        want8 = [l(x) for l in ls]
+        got8 = fused_linear(x, ls)
+    # identical x_scale (same input) and per-channel w scales -> identical
+    for w, g in zip(want8, got8):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-6)
+
+    # static scales: fused uses the max over named sites
+    from vorta_tpu.ops.qmm import layer_act_scales
+
+    scales = {"a.q": jnp.asarray(0.01), "a.k": jnp.asarray(0.02)}
+    with mm_precision("int8"), layer_act_scales(scales):
+        got_s = fused_linear(x, ls)
+    from vorta_tpu.ops.qmm import int8_linear
+
+    wcat = jnp.concatenate([l.kernel.value for l in ls], axis=1)
+    bcat = jnp.concatenate([l.bias.value for l in ls])
+    ref_s = int8_linear(x, wcat, bcat, x_scale=jnp.asarray(0.02))
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(got_s, -1)), np.asarray(ref_s), rtol=1e-6
+    )
+
+    # calibration: every named site records the shared amax
+    from vorta_tpu.ops.qmm import calibration_scope
+
+    with calibration_scope() as sink:
+        fused_linear(x, ls)
+    assert set(sink) == {"a.q", "a.k"}
+    np.testing.assert_allclose(
+        float(sink["a.q"]), float(jnp.max(jnp.abs(x))), rtol=1e-6
+    )

@@ -208,10 +208,14 @@ class HunyuanJointAttention(nnx.Module):
 
     def __call__(self, x, ctx, rope, text_mask, jcfg, scores, routing_mode,
                  interpret, sp_axis=None):
+        from ..ops.qmm import fused_linear
+
         h = self.num_heads
-        qv = self.norm_q(_split_heads(self.to_q(x), h))
-        kv_ = self.norm_k(_split_heads(self.to_k(x), h))
-        vv = _split_heads(self.to_v(x), h)
+        # one concatenated qkv matmul over the 100k-token video stream
+        qp, kp, vp = fused_linear(x, (self.to_q, self.to_k, self.to_v))
+        qv = self.norm_q(_split_heads(qp, h))
+        kv_ = self.norm_k(_split_heads(kp, h))
+        vv = _split_heads(vp, h)
         qt = self.norm_added_q(_split_heads(self.add_q_proj(ctx), h))
         kt = self.norm_added_k(_split_heads(self.add_k_proj(ctx), h))
         vt = _split_heads(self.add_v_proj(ctx), h)
@@ -247,10 +251,13 @@ class HunyuanSingleAttention(nnx.Module):
 
     def __call__(self, x_joint, video_len, rope, text_mask, jcfg, scores,
                  routing_mode, interpret, sp_axis=None):
+        from ..ops.qmm import fused_linear
+
         h = self.num_heads
-        q = self.norm_q(_split_heads(self.to_q(x_joint), h))
-        k = self.norm_k(_split_heads(self.to_k(x_joint), h))
-        v = _split_heads(self.to_v(x_joint), h)
+        qp, kp, vp = fused_linear(x_joint, (self.to_q, self.to_k, self.to_v))
+        q = self.norm_q(_split_heads(qp, h))
+        k = self.norm_k(_split_heads(kp, h))
+        v = _split_heads(vp, h)
         qv, qt = q[:, :, :video_len], q[:, :, video_len:]
         kv_, kt = k[:, :, :video_len], k[:, :, video_len:]
         vv, vt = v[:, :, :video_len], v[:, :, video_len:]

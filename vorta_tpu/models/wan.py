@@ -86,11 +86,11 @@ class WanSelfAttention(nnx.Module):
         interpret: bool = False,
         sp_axis: Optional[str] = None,
     ) -> jax.Array:
+        from ..ops.qmm import fused_linear
         from ..ops.rope import apply_rope_half
 
-        q = self.to_q(x)
-        k = self.to_k(x)
-        v = self.to_v(x)
+        # one concatenated qkv matmul (fewer launches; int8 quantizes x once)
+        q, k, v = fused_linear(x, (self.to_q, self.to_k, self.to_v))
         if self.norm_q is not None:
             q = self.norm_q(q)
             k = self.norm_k(k)

@@ -50,6 +50,7 @@ import contextvars
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import nnx
 
 _MM_PRECISION: contextvars.ContextVar[str] = contextvars.ContextVar(
@@ -171,3 +172,54 @@ class QLinear(nnx.Linear):
             )
             return int8_linear(x, self.kernel.value, bias, x_scale=x_scale)
         return super().__call__(x)
+
+
+def fused_linear(x: jax.Array, linears) -> list:
+    """Apply several (Q)Linears that share the same input as ONE matmul.
+
+    Concatenates the kernels (and biases) along the output dim, runs a single
+    dot, and splits the result — numerically identical to calling each layer
+    (each output column's accumulation chain is unchanged), but one kernel
+    launch instead of len(linears), and under the int8 context the activation
+    is quantized ONCE instead of per projection (the dynamic amax pass over a
+    72k-token stream costs more than the int8 MXU win recovers — see module
+    docstring).
+
+    Calibration/static scales: all layers see the same input, so one shared
+    amax is recorded for every named site, and at serving the max of the
+    sites' static scales quantizes the concatenated matmul.
+    """
+    sizes = [l.kernel.value.shape[1] for l in linears]
+    wcat = jnp.concatenate([l.kernel.value for l in linears], axis=1)
+    if any(l.bias is not None for l in linears):
+        bcat = jnp.concatenate([
+            l.bias.value if l.bias is not None
+            else jnp.zeros((n,), x.dtype)
+            for l, n in zip(linears, sizes)
+        ])
+    else:
+        bcat = None
+
+    sites = [getattr(l, "site", None) for l in linears]
+    calib = _CALIB.get()
+    if calib is not None and any(s is not None for s in sites):
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        for s in sites:
+            if s is not None:
+                prev = calib.get(s)
+                calib[s] = amax if prev is None else jnp.maximum(prev, amax)
+
+    if _MM_PRECISION.get() == "int8":
+        scales = _ACT_SCALES.get()
+        x_scale = None
+        if scales is not None:
+            have = [scales[s] for s in sites if s is not None and s in scales]
+            if have:
+                x_scale = jnp.max(jnp.stack(have))
+        out = int8_linear(x, wcat, bcat, x_scale=x_scale)
+    else:
+        out = x @ wcat.astype(x.dtype)
+        if bcat is not None:
+            out = out + bcat.astype(out.dtype)
+    bounds = np.cumsum([0] + sizes)
+    return [out[..., bounds[i]:bounds[i + 1]] for i in range(len(sizes))]
