@@ -250,11 +250,15 @@ class HunyuanSingleAttention(nnx.Module):
         self.norm_k = PerHeadRMSNorm(cfg.head_dim, cfg.eps, rngs=rngs)
 
     def __call__(self, x_joint, video_len, rope, text_mask, jcfg, scores,
-                 routing_mode, interpret, sp_axis=None):
+                 routing_mode, interpret, sp_axis=None, qkv=None):
         from ..ops.qmm import fused_linear
 
         h = self.num_heads
-        qp, kp, vp = fused_linear(x_joint, (self.to_q, self.to_k, self.to_v))
+        # ``qkv`` lets the block fuse these projections with its parallel
+        # MLP's into one matmul (they all read the same modulated norm)
+        if qkv is None:
+            qkv = fused_linear(x_joint, (self.to_q, self.to_k, self.to_v))
+        qp, kp, vp = qkv
         q = self.norm_q(_split_heads(qp, h))
         k = self.norm_k(_split_heads(kp, h))
         v = _split_heads(vp, h)
@@ -375,14 +379,22 @@ class HunyuanSingleBlock(nnx.Module):
         if tr_mask is not None:
             norm_j = jnp.where(tr_mask, self.norm.modulated(joint, t_sc, t_sh),
                                norm_j)
-        mlp = jax.nn.gelu(self.proj_mlp(norm_j), approximate=True)
+        # parallel attention + MLP share norm_j: fuse all four projections
+        # (qkv + mlp-in) into one concatenated matmul
+        from ..ops.qmm import fused_linear
+
+        qp, kp, vp, mlp_in = fused_linear(
+            norm_j, (self.attn.to_q, self.attn.to_k, self.attn.to_v,
+                     self.proj_mlp)
+        )
+        mlp = jax.nn.gelu(mlp_in, approximate=True)
 
         scores = None
         if routing_mode not in ("off", "off_ref"):
             scores = self.router(clean_temb)
         attn_out = self.attn(
             norm_j, x.shape[1], rope, text_mask, jcfg, scores, routing_mode,
-            interpret, sp_axis,
+            interpret, sp_axis, qkv=(qp, kp, vp),
         )
         joint_out = self.proj_out(jnp.concatenate([attn_out, mlp], axis=2))
         g = gate[:, None]
