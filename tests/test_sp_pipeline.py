@@ -88,3 +88,20 @@ def test_i2v_pipeline_end_to_end():
     out_sp, _ = pipe_sp(latents, pe, sampling=sampling, image_embeds=img)
     np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_i2v),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_sp_cfg_batch_matches_sequential():
+    """cfg_batch under the shard_map SP loop == sequential SP CFG."""
+    model = WanModel(WAN_TINY, rngs=nnx.Rngs(0))
+    mesh = make_mesh(sp_size=2, dp_size=1)
+    pipe_sp = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True, mesh=mesh)
+
+    latents = pipe_sp.prepare_latents(jax.random.PRNGKey(4), 1, 13, 64, 64)
+    pe = jax.random.normal(jax.random.PRNGKey(1), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    ne = jax.random.normal(jax.random.PRNGKey(2), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    kw = dict(num_inference_steps=2, guidance_scale=5.0, routing_mode="hard")
+    ref, _ = pipe_sp(latents, pe, ne, sampling=SamplingConfig(**kw))
+    got, _ = pipe_sp(latents, pe, ne, sampling=SamplingConfig(cfg_batch=True, **kw))
+    rel = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert rel < 1e-3, rel
