@@ -83,7 +83,11 @@ def main():
                          "int8_static self-calibrates static activation scales "
                          "first (no amax passes — quantize fuses into producers)")
     args = ap.parse_args()
-    interpret = jax.default_backend() != "tpu"
+    try:
+        interpret = jax.default_backend() != "tpu"
+    except RuntimeError as e:  # tunnel down: backend init raises UNAVAILABLE
+        interpret = True
+        print(f"[bench] backend init failed: {e}", flush=True)
     if interpret:
         print(
             json.dumps({"metric": "skipped", "value": 0, "unit": "ms",
