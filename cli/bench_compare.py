@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument("--tau_sparse", type=float, default=0.3)
     p.add_argument("--cfg_batch", action="store_true",
                    help="CFG cond+uncond as one batch-2 forward (both arms)")
+    p.add_argument("--mm", default="bf16", choices=["bf16", "int8", "int8_static"],
+                   help="matmul precision for the ROUTED arm (baseline stays "
+                        "bf16): measures the serving-mode quality cost — "
+                        "int8_static self-calibrates static activation scales")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--output_dir", default="results/compare")
     p.add_argument("--tau_sweep", default=None,
@@ -107,17 +111,49 @@ def main(argv=None):
         router_state = load_router_npz(router_state, args.router_npz)
         nnx.update(model, router_state)
 
-    pipe = WanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
-    noise = pipe.prepare_latents(
-        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
-    )
+    noise_probe = None  # set below; needed by calibration before pipe exists
     pe = jax.random.normal(
         jax.random.PRNGKey(args.seed + 1), (1, model_cfg.text_len, model_cfg.text_dim)
     )
     ne = jnp.zeros_like(pe)
 
+    act_scales = None
+    routed_mm = "bf16" if args.mm == "bf16" else "int8"
+    if args.mm == "int8_static":
+        # self-calibrate static activation scales under the routed serving
+        # mode (same flow as bench.py / tools/calibrate_int8.py)
+        gdef, state = nnx.split(model)
+        probe_pipe = WanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
+        noise_probe = probe_pipe.prepare_latents(
+            jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height,
+            args.width,
+        )
+
+        @jax.jit
+        def calib_fwd(state, lat, ctx, t):
+            m = nnx.merge(gdef, state)
+            return m(lat, t, ctx, attn_cfg=attn_cfg, routing_mode="hard",
+                     interpret=interpret, calibrate_mm=True).mm_calibration
+
+        amax = None
+        for ts in (200.0, 500.0, 800.0):
+            a = jax.tree.map(
+                np.asarray,
+                calib_fwd(state, noise_probe, pe, jnp.full((1,), ts)),
+            )
+            amax = a if amax is None else {
+                k: np.maximum(amax[k], a[k]) for k in amax
+            }
+        act_scales = {k: v / 127.0 for k, v in amax.items()}
+
+    pipe = WanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret,
+                          act_scales=act_scales)
+    noise = noise_probe if noise_probe is not None else pipe.prepare_latents(
+        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
+    )
+
     out_dir = Path(args.output_dir)
-    results = {}
+    results = {"mm_routed": args.mm}
     for name, mode in (("baseline", "off"), ("vorta", "hard")):
         sampling = SamplingConfig(
             num_inference_steps=args.num_inference_steps,
@@ -126,6 +162,7 @@ def main(argv=None):
             routing_mode=mode,
             return_scores=mode == "hard",
             cfg_batch=args.cfg_batch,
+            mm_precision=routed_mm if mode == "hard" else "bf16",
         )
         # the fixed-seed sample (for the PSNR comparison)
         latents, scores = pipe(noise, pe, ne, sampling=sampling)
@@ -167,7 +204,8 @@ def main(argv=None):
             import dataclasses as _dc
 
             cfg_t = _dc.replace(attn_cfg, tau_sparse=tau)
-            pipe_t = WanT2VPipeline(model, attn_cfg=cfg_t, interpret=interpret)
+            pipe_t = WanT2VPipeline(model, attn_cfg=cfg_t, interpret=interpret,
+                                    act_scales=act_scales)
             sampling = SamplingConfig(
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
@@ -175,6 +213,7 @@ def main(argv=None):
                 routing_mode="hard",
                 return_scores=True,
                 cfg_batch=args.cfg_batch,
+                mm_precision=routed_mm,
             )
             lat_t, scores_t = pipe_t(noise, pe, ne, sampling=sampling)
             lat_t.block_until_ready()
@@ -248,10 +287,6 @@ def _main_hunyuan(args, interpret):
 
         load_hunyuan_router_torch_checkpoint(model, args.router_checkpoint)
 
-    pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
-    noise = pipe.prepare_latents(
-        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
-    )
     text = jax.random.normal(
         jax.random.PRNGKey(args.seed + 1), (1, model_cfg.text_len, model_cfg.text_dim)
     )
@@ -260,14 +295,46 @@ def _main_hunyuan(args, interpret):
         jax.random.PRNGKey(args.seed + 2), (1, model_cfg.pooled_dim)
     )
 
+    act_scales = None
+    routed_mm = "bf16" if args.mm == "bf16" else "int8"
+    probe_pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret)
+    noise = probe_pipe.prepare_latents(
+        jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
+    )
+    if args.mm == "int8_static":
+        gdef, state = nnx.split(model)
+        guidance = jnp.full((1,), args.guidance_scale * 1000.0)
+
+        @jax.jit
+        def calib_fwd(state, lat, text, mask, pooled, t):
+            m = nnx.merge(gdef, state)
+            return m(lat, t, text, mask, pooled, guidance=guidance,
+                     attn_cfg=attn_cfg, routing_mode="hard",
+                     interpret=interpret, calibrate_mm=True).mm_calibration
+
+        amax = None
+        for ts in (200.0, 500.0, 800.0):
+            a = jax.tree.map(
+                np.asarray,
+                calib_fwd(state, noise, text, mask, pooled, jnp.full((1,), ts)),
+            )
+            amax = a if amax is None else {
+                k: np.maximum(amax[k], a[k]) for k in amax
+            }
+        act_scales = {k: v / 127.0 for k, v in amax.items()}
+
+    pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret,
+                              act_scales=act_scales)
+
     out_dir = Path(args.output_dir)
-    results = {}
+    results = {"mm_routed": args.mm}
     for name, mode in (("baseline", "off"), ("vorta", "hard")):
         sampling = HunyuanSamplingConfig(
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
             flow_shift=args.flow_shift,
             routing_mode=mode,
+            mm_precision=routed_mm if mode == "hard" else "bf16",
         )
         latents = pipe(noise, text, mask, pooled, sampling=sampling)
         latents.block_until_ready()
