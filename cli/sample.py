@@ -50,6 +50,13 @@ def parse_args(argv=None):
                    help="npz of calibrated static activation scales "
                         "(tools/calibrate_int8.py) — removes the dynamic "
                         "amax passes when --mm int8")
+    p.add_argument("--cache_threshold", type=float, default=0.0,
+                   help="step-residual caching (ops/stepcache.py): skip the "
+                        "DiT block stack when the accumulated timestep-"
+                        "embedding distance stays under this (0 = off; "
+                        "TeaCache-style values ~0.05-0.3)")
+    p.add_argument("--cache_warmup", type=int, default=1,
+                   help="denoise steps at the start that always compute")
     # generation
     p.add_argument("--prompt", default=None,
                    help="text prompt; needs --tokenizer_dir (+ encoder ckpt)")
@@ -285,6 +292,8 @@ def main(argv=None):
         routing_mode="off" if args.native_attention else "hard",
         mm_precision=args.mm,
         cfg_batch=args.cfg_batch,
+        cache_threshold=args.cache_threshold,
+        cache_warmup=args.cache_warmup,
     )
 
     vae = None
@@ -462,6 +471,8 @@ def _main_hunyuan(args, interpret):
         routing_mode="off" if args.native_attention else "hard",
         mm_precision=args.mm,
         cfg_batch=args.cfg_batch,
+        cache_threshold=args.cache_threshold,
+        cache_warmup=args.cache_warmup,
     )
 
     def generate(text, mask, pooled, out):

@@ -102,6 +102,7 @@ class HunyuanOutput:
     hidden_layer_distill_loss: Optional[jax.Array] = None
     routing_scores: Optional[jax.Array] = None  # (L_total, B, H, E)
     mm_calibration: Optional[dict] = None  # {site: (L,) amax} (calibrate_mm)
+    step_cache: Optional[object] = None  # ops.stepcache.StepCache (serving)
 
 
 def hunyuan_rope_tables(grid: Shape3, cfg: HunyuanModelConfig):
@@ -556,6 +557,10 @@ class HunyuanModel(nnx.Module):
         quantized_blocks=None,
         act_scales: Optional[dict] = None,
         calibrate_mm: bool = False,
+        step_cache=None,  # ops.stepcache.StepCache from the previous step
+        cache_threshold: float = 0.0,
+        cache_force_compute: Optional[jax.Array] = None,  # () bool
+        cache_coefficients=None,
     ) -> HunyuanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -697,14 +702,66 @@ class HunyuanModel(nnx.Module):
         zero = jnp.zeros((), jnp.float32)
         x_t, c_t = x, ctx
         q_dual, q_single = quantized_blocks or (None, None)
-        x, ctx, x_t, c_t, reg, hid, s1, calib1 = run_stack(
-            self.dual_blocks, cfg.dual_layers, x, ctx, x_t, c_t, zero, zero,
-            qtree=q_dual, scales_xs=stack_scales("dual."),
-        )
-        x, ctx, x_t, c_t, reg, hid, s2, calib2 = run_stack(
-            self.single_blocks, cfg.single_layers, x, ctx, x_t, c_t, reg, hid,
-            qtree=q_single, scales_xs=stack_scales("single."),
-        )
+        new_cache = None
+        if step_cache is None:
+            x, ctx, x_t, c_t, reg, hid, s1, calib1 = run_stack(
+                self.dual_blocks, cfg.dual_layers, x, ctx, x_t, c_t, zero, zero,
+                qtree=q_dual, scales_xs=stack_scales("dual."),
+            )
+            x, ctx, x_t, c_t, reg, hid, s2, calib2 = run_stack(
+                self.single_blocks, cfg.single_layers, x, ctx, x_t, c_t, reg, hid,
+                qtree=q_single, scales_xs=stack_scales("single."),
+            )
+        else:
+            # step-residual caching (ops/stepcache.py): only the VIDEO hidden
+            # state needs a cached delta — the text stream's final state is
+            # discarded after the stacks, and the head reads x alone
+            if teacher or calibrate_mm:
+                raise ValueError(
+                    "step caching is a serving mode: incompatible with "
+                    "return_losses / calibrate_mm"
+                )
+            from ..ops.stepcache import StepCache, cache_decision
+
+            ind = temb.astype(jnp.float32)
+            skip, acc_skip = cache_decision(
+                step_cache, ind, cache_threshold, cache_force_compute,
+                cache_coefficients,
+            )
+            n_layers = cfg.dual_layers + cfg.single_layers
+            x_in = x
+
+            def compute_branch(cache):
+                x1, c1, _, _, _, _, sc1, _ = run_stack(
+                    self.dual_blocks, cfg.dual_layers, x_in, ctx, x_in, ctx,
+                    zero, zero, qtree=q_dual, scales_xs=stack_scales("dual."),
+                )
+                x2, _, _, _, _, _, sc2, _ = run_stack(
+                    self.single_blocks, cfg.single_layers, x1, c1, x1, c1,
+                    zero, zero, qtree=q_single,
+                    scales_xs=stack_scales("single."),
+                )
+                return x2, jnp.concatenate([sc1, sc2], axis=0), StepCache(
+                    prev_ind=ind,
+                    residual=(x2 - x_in).astype(x_in.dtype),
+                    acc=jnp.zeros((), jnp.float32),
+                    valid=jnp.ones((), bool),
+                )
+
+            def skip_branch(cache):
+                xo = x_in + cache.residual.astype(x_in.dtype)
+                scores = jnp.zeros((n_layers, b, cfg.num_heads, 3), jnp.float32)
+                return xo, scores, StepCache(
+                    prev_ind=ind, residual=cache.residual, acc=acc_skip,
+                    valid=cache.valid,
+                )
+
+            x, s_all, new_cache = jax.lax.cond(
+                skip, skip_branch, compute_branch, step_cache
+            )
+            s1, s2 = s_all[: cfg.dual_layers], s_all[cfg.dual_layers :]
+            reg = hid = zero
+            calib1, calib2 = {}, {}
 
         def head(hx):
             sc, sh = self.norm_out_mod(temb)  # AdaLayerNormContinuous: scale first
@@ -730,4 +787,5 @@ class HunyuanModel(nnx.Module):
             hidden_layer_distill_loss=hid if teacher else None,
             routing_scores=scores,
             mm_calibration={**calib1, **calib2} if calibrate_mm else None,
+            step_cache=new_cache,
         )

@@ -49,6 +49,7 @@ class WanOutput:
     hidden_layer_distill_loss: Optional[jax.Array] = None
     routing_scores: Optional[jax.Array] = None  # (L, B, H, E)
     mm_calibration: Optional[dict] = None  # {site: (L,) amax} (calibrate_mm)
+    step_cache: Optional[object] = None  # ops.stepcache.StepCache (serving)
 
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -381,6 +382,10 @@ class WanModel(nnx.Module):
         quantized_blocks=None,
         act_scales: Optional[dict] = None,
         calibrate_mm: bool = False,
+        step_cache=None,  # ops.stepcache.StepCache from the previous step
+        cache_threshold: float = 0.0,
+        cache_force_compute: Optional[jax.Array] = None,  # () bool
+        cache_coefficients=None,
     ) -> WanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -527,9 +532,58 @@ class WanModel(nnx.Module):
             scan_xs = quantized_blocks
         else:
             scan_xs = block_state
-        (x, x_t, reg_loss, hidden_loss), (all_scores, mm_amax) = jax.lax.scan(
-            run_block, (x, x, zero, zero), (scan_xs, scales_xs)
-        )
+
+        def scan_blocks(xin):
+            return jax.lax.scan(
+                run_block, (xin, xin, zero, zero), (scan_xs, scales_xs)
+            )
+
+        new_cache = None
+        if step_cache is None:
+            (x, x_t, reg_loss, hidden_loss), (all_scores, mm_amax) = scan_blocks(x)
+        else:
+            # step-residual caching (ops/stepcache.py): a traced cond either
+            # runs the block stack or replays the cached block delta —
+            # patch embed + head still run, so the integrator keeps its
+            # identity path through the current latents (TeaCache semantics)
+            if teacher or calibrate_mm:
+                raise ValueError(
+                    "step caching is a serving mode: incompatible with "
+                    "return_losses / calibrate_mm"
+                )
+            from ..ops.stepcache import StepCache, cache_decision
+
+            n_layers = jax.tree.leaves(scan_xs)[0].shape[0]
+            ind = temb6.reshape(b, -1).astype(jnp.float32)
+            skip, acc_skip = cache_decision(
+                step_cache, ind, cache_threshold, cache_force_compute,
+                cache_coefficients,
+            )
+
+            def compute_branch(cache):
+                (xo, _, _, _), (scores, _) = scan_blocks(x)
+                return xo, scores, StepCache(
+                    prev_ind=ind,
+                    residual=(xo - x).astype(x.dtype),
+                    acc=jnp.zeros((), jnp.float32),
+                    valid=jnp.ones((), bool),
+                )
+
+            def skip_branch(cache):
+                xo = x + cache.residual.astype(x.dtype)
+                scores = jnp.zeros(
+                    (n_layers, b, cfg.num_heads, attn_cfg.num_experts),
+                    jnp.float32,
+                )
+                return xo, scores, StepCache(
+                    prev_ind=ind, residual=cache.residual, acc=acc_skip,
+                    valid=cache.valid,
+                )
+
+            x, all_scores, new_cache = jax.lax.cond(
+                skip, skip_branch, compute_branch, step_cache
+            )
+            x_t, reg_loss, hidden_loss, mm_amax = x, zero, zero, {}
 
         # output head
         def head(hx):
@@ -556,6 +610,7 @@ class WanModel(nnx.Module):
             hidden_layer_distill_loss=hidden_loss if teacher else None,
             routing_scores=all_scores if return_scores else None,
             mm_calibration=mm_amax if calibrate_mm else None,
+            step_cache=new_cache,
         )
 
     def _unpatchify(self, out: jax.Array, b: int, grid: Tuple[int, int, int]) -> jax.Array:

@@ -40,6 +40,12 @@ class HunyuanSamplingConfig:
     # run the true-CFG cond+uncond passes as ONE batch-2B forward (see
     # wan_t2v.SamplingConfig.cfg_batch); no effect without true_cfg_scale > 1
     cfg_batch: bool = False
+    # step-residual caching (ops/stepcache.py): skip both block stacks when
+    # the accumulated timestep-embedding distance since the last computed
+    # step stays under this threshold.  0.0 = off.
+    cache_threshold: float = 0.0
+    cache_warmup: int = 1
+    cache_coefficients: Optional[tuple] = None
 
 
 class HunyuanT2VPipeline:
@@ -95,6 +101,10 @@ class HunyuanT2VPipeline:
         do_cfg = sampling.true_cfg_scale > 1.0
         cfg_scale = float(sampling.true_cfg_scale)
         cfg_batch = sampling.cfg_batch and do_cfg
+        cache_threshold = float(sampling.cache_threshold)
+        use_cache = cache_threshold > 0.0
+        cache_warmup = int(sampling.cache_warmup)
+        cache_coefficients = sampling.cache_coefficients
 
         @nnx.jit
         def run(model: HunyuanModel, latents, text, mask, pooled, neg_text, neg_pooled):
@@ -102,12 +112,35 @@ class HunyuanT2VPipeline:
             timesteps = jnp.asarray(schedule.timesteps)
             n_steps = schedule.num_steps
 
+            cfg = model.cfg
+            pt, ph, pw = cfg.patch_size
+            b0, t_px, h_px, w_px, _ = latents.shape
+            seq = (t_px // pt) * (h_px // ph) * (w_px // pw)
+
+            def init_caches():
+                if not use_cache:
+                    return ()
+                from ..ops.stepcache import init_step_cache
+
+                mk = lambda nb: init_step_cache(nb, seq, cfg.dim, cfg.dim,
+                                                model.dtype)
+                if cfg_batch:
+                    return (mk(2 * b0),)
+                if do_cfg:
+                    return (mk(b0), mk(b0))
+                return (mk(b0),)
+
             @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
             def step(model: HunyuanModel, carry, i):
-                x, m_prev, m_prev2, x_prev = carry
+                x, m_prev, m_prev2, x_prev, caches = carry
                 b = x.shape[0]
                 t = jnp.full((b,), timesteps[i])
                 guidance = jnp.full((b,), guidance_value)
+                force = (i < cache_warmup) | (i == n_steps - 1)
+                ckw = dict(cache_threshold=cache_threshold,
+                           cache_force_compute=force,
+                           cache_coefficients=cache_coefficients) if use_cache else {}
+                new_caches = ()
                 if cfg_batch:
                     out = model(
                         jnp.concatenate([x, x]).astype(model.dtype),
@@ -119,7 +152,10 @@ class HunyuanT2VPipeline:
                         attn_cfg=attn_cfg, routing_mode=routing_mode,
                         interpret=interpret,
                         mm_precision=mm, act_scales=act_scales,
+                        step_cache=caches[0] if use_cache else None, **ckw,
                     )
+                    if use_cache:
+                        new_caches = (out.step_cache,)
                     vc = out.sample[:b].astype(jnp.float32)
                     vu = out.sample[b:].astype(jnp.float32)
                     v = vu + cfg_scale * (vc - vu)
@@ -128,15 +164,22 @@ class HunyuanT2VPipeline:
                         x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
                         attn_cfg=attn_cfg, routing_mode=routing_mode, interpret=interpret,
                         mm_precision=mm, act_scales=act_scales,
+                        step_cache=caches[0] if use_cache else None, **ckw,
                     )
+                    if use_cache:
+                        new_caches = (out.step_cache,)
                     v = out.sample.astype(jnp.float32)
                 if do_cfg and not cfg_batch:
-                    vu = model(
+                    out_u = model(
                         x.astype(model.dtype), t, neg_text, mask, neg_pooled,
                         guidance=guidance, attn_cfg=attn_cfg,
                         routing_mode=routing_mode, interpret=interpret,
                         mm_precision=mm, act_scales=act_scales,
-                    ).sample.astype(jnp.float32)
+                        step_cache=caches[1] if use_cache else None, **ckw,
+                    )
+                    if use_cache:
+                        new_caches = new_caches + (out_u.step_cache,)
+                    vu = out_u.sample.astype(jnp.float32)
                     v = vu + cfg_scale * (v - vu)
                 if use_unipc:
                     x_next, m_i, x_hist = unipc_sample_step(
@@ -146,11 +189,12 @@ class HunyuanT2VPipeline:
                 else:
                     x_next = x + (sigmas[i + 1] - sigmas[i]) * v
                     m_i, x_hist = m_prev, x_prev
-                return (x_next, m_i, m_prev, x_hist), jnp.zeros((), jnp.float32)
+                return (x_next, m_i, m_prev, x_hist, new_caches), jnp.zeros((), jnp.float32)
 
             x0 = latents.astype(jnp.float32)
-            (x, _, _, _), _ = step(
-                model, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0),
+            (x, _, _, _, _), _ = step(
+                model,
+                (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0, init_caches()),
                 jnp.arange(n_steps),
             )
             return x

@@ -38,6 +38,15 @@ class SamplingConfig:
     # sequential forwards: same math, ~halves per-step launch/scheduling
     # overhead and doubles matmul batch (costs 2x activation memory)
     cfg_batch: bool = False
+    # step-residual caching (ops/stepcache.py): skip the DiT block stack
+    # when the accumulated timestep-embedding distance since the last
+    # computed step stays under this threshold.  0.0 = off.  Each CFG arm
+    # keeps its own cache; warmup steps and the final step always compute.
+    cache_threshold: float = 0.0
+    cache_warmup: int = 1
+    # optional fitted polynomial (highest-degree first) rescaling the raw
+    # indicator distance (TeaCache coefficients; identity when None)
+    cache_coefficients: Optional[tuple] = None
 
 
 class WanT2VPipeline:
@@ -97,6 +106,10 @@ class WanT2VPipeline:
         mm = sampling.mm_precision
         act_scales = self.act_scales
         return_scores = sampling.return_scores
+        cache_threshold = float(sampling.cache_threshold)
+        use_cache = cache_threshold > 0.0
+        cache_warmup = int(sampling.cache_warmup)
+        cache_coefficients = sampling.cache_coefficients
 
         @nnx.jit
         def run(model: WanModel, latents, prompt_embeds, negative_prompt_embeds,
@@ -105,10 +118,36 @@ class WanT2VPipeline:
             timesteps = jnp.asarray(schedule.timesteps)
             n_steps = schedule.num_steps
 
+            cfg = model.cfg
+            pt, ph, pw = cfg.patch_size
+            b0, t_px, h_px, w_px, _ = latents.shape
+            seq = (t_px // pt) * (h_px // ph) * (w_px // pw)
+            ind_dim = 6 * cfg.dim
+
+            def init_caches():
+                # one cache per DiT evaluation stream: the batched-CFG path
+                # is one stream at batch 2B; sequential CFG is two streams
+                if not use_cache:
+                    return ()
+                from ..ops.stepcache import init_step_cache
+
+                if cfg_batch:
+                    return (init_step_cache(2 * b0, seq, cfg.dim, ind_dim,
+                                            model.dtype),)
+                if do_cfg:
+                    return (init_step_cache(b0, seq, cfg.dim, ind_dim, model.dtype),
+                            init_step_cache(b0, seq, cfg.dim, ind_dim, model.dtype))
+                return (init_step_cache(b0, seq, cfg.dim, ind_dim, model.dtype),)
+
             @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
             def step(model: WanModel, carry, i):
-                x, m_prev, m_prev2, x_prev = carry
+                x, m_prev, m_prev2, x_prev, caches = carry
                 t = jnp.full((x.shape[0],), timesteps[i])
+                force = (i < cache_warmup) | (i == n_steps - 1)
+                ckw = dict(cache_threshold=cache_threshold,
+                           cache_force_compute=force,
+                           cache_coefficients=cache_coefficients) if use_cache else {}
+                new_caches = ()
                 if cfg_batch:
                     # one batch-2B forward: [cond | uncond]
                     out = model(
@@ -124,7 +163,10 @@ class WanT2VPipeline:
                         ),
                         interpret=interpret,
                         mm_precision=mm, act_scales=act_scales,
+                        step_cache=caches[0] if use_cache else None, **ckw,
                     )
+                    if use_cache:
+                        new_caches = (out.step_cache,)
                     bb = x.shape[0]
                     vc = out.sample[:bb].astype(jnp.float32)
                     vu = out.sample[bb:].astype(jnp.float32)
@@ -140,7 +182,10 @@ class WanT2VPipeline:
                         image_context=image_embeds,
                         interpret=interpret,
                         mm_precision=mm, act_scales=act_scales,
+                        step_cache=caches[0] if use_cache else None, **ckw,
                     )
+                    if use_cache:
+                        new_caches = (out.step_cache,)
                     velocity = out.sample.astype(jnp.float32)
                 if do_cfg and not cfg_batch:
                     # image conditioning stays on for the uncond pass
@@ -155,7 +200,10 @@ class WanT2VPipeline:
                         image_context=image_embeds,
                         interpret=interpret,
                         mm_precision=mm, act_scales=act_scales,
+                        step_cache=caches[1] if use_cache else None, **ckw,
                     )
+                    if use_cache:
+                        new_caches = new_caches + (out_u.step_cache,)
                     vu = out_u.sample.astype(jnp.float32)
                     velocity = vu + guidance_scale * (velocity - vu)
                 if use_unipc:
@@ -167,11 +215,12 @@ class WanT2VPipeline:
                     x_next = x + (sigmas[i + 1] - sigmas[i]) * velocity
                     m_i, x_hist = m_prev, x_prev
                 scores = out.routing_scores if return_scores else jnp.zeros((), jnp.float32)
-                return (x_next, m_i, m_prev, x_hist), scores
+                return (x_next, m_i, m_prev, x_hist, new_caches), scores
 
             x0 = latents.astype(jnp.float32)
-            (x, _, _, _), scores = step(
-                model, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0),
+            (x, _, _, _, _), scores = step(
+                model,
+                (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0, init_caches()),
                 jnp.arange(n_steps),
             )
             return x, scores
