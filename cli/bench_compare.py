@@ -50,6 +50,11 @@ def main(argv=None):
                         "int8_static self-calibrates static activation scales")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--output_dir", default="results/compare")
+    p.add_argument("--cache_threshold", type=float, default=0.0,
+                   help="adds a third arm (vorta_cached): routed + step-"
+                        "residual caching (ops/stepcache.py) — reports its "
+                        "wall-clock and quality vs the SAME baseline")
+    p.add_argument("--cache_warmup", type=int, default=2)
     p.add_argument("--tau_sweep", default=None,
                    help="comma list of tau_sparse values; per-tau routed "
                         "sample + quality metrics + routing mix")
@@ -154,20 +159,26 @@ def main(argv=None):
 
     out_dir = Path(args.output_dir)
     results = {"mm_routed": args.mm}
-    for name, mode in (("baseline", "off"), ("vorta", "hard")):
+    arms = [("baseline", "off"), ("vorta", "hard")]
+    if args.cache_threshold > 0.0:
+        arms.append(("vorta_cached", "hard"))
+    for name, mode in arms:
+        cached = name == "vorta_cached"
         sampling = SamplingConfig(
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
             flow_shift=args.flow_shift,
             routing_mode=mode,
-            return_scores=mode == "hard",
+            return_scores=mode == "hard" and not cached,
             cfg_batch=args.cfg_batch,
             mm_precision=routed_mm if mode == "hard" else "bf16",
+            cache_threshold=args.cache_threshold if cached else 0.0,
+            cache_warmup=args.cache_warmup,
         )
         # the fixed-seed sample (for the PSNR comparison)
         latents, scores = pipe(noise, pe, ne, sampling=sampling)
         latents.block_until_ready()
-        if mode == "hard" and scores is not None:
+        if mode == "hard" and not cached and scores is not None:
             results["routing_mix"] = routing_mix(np.asarray(scores), args.tau_sparse)
         (out_dir / name).mkdir(parents=True, exist_ok=True)
         np.save(out_dir / name / "latents.npy", np.asarray(latents))
@@ -195,6 +206,12 @@ def main(argv=None):
     results["lpips_vorta_vs_baseline"] = lpips(a, b, args.lpips_weights)
     results["vbench"] = vbench_scaffold()
     results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
+    if args.cache_threshold > 0.0:
+        c = np.load(out_dir / "vorta_cached" / "latents.npy")
+        results["psnr_cached_vs_baseline_db"] = round(psnr(a, c), 2)
+        results["ssim_cached_vs_baseline"] = round(ssim(a, c), 4)
+        results["speedup_cached"] = round(
+            results["baseline"]["seconds"] / results["vorta_cached"]["seconds"], 3)
 
     if args.tau_sweep:
         # quality-vs-speedup trade as tau_sparse moves routed heads back to
@@ -328,13 +345,19 @@ def _main_hunyuan(args, interpret):
 
     out_dir = Path(args.output_dir)
     results = {"mm_routed": args.mm}
-    for name, mode in (("baseline", "off"), ("vorta", "hard")):
+    arms = [("baseline", "off"), ("vorta", "hard")]
+    if args.cache_threshold > 0.0:
+        arms.append(("vorta_cached", "hard"))
+    for name, mode in arms:
+        cached = name == "vorta_cached"
         sampling = HunyuanSamplingConfig(
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
             flow_shift=args.flow_shift,
             routing_mode=mode,
             mm_precision=routed_mm if mode == "hard" else "bf16",
+            cache_threshold=args.cache_threshold if cached else 0.0,
+            cache_warmup=args.cache_warmup,
         )
         latents = pipe(noise, text, mask, pooled, sampling=sampling)
         latents.block_until_ready()
@@ -359,6 +382,12 @@ def _main_hunyuan(args, interpret):
     results["lpips_vorta_vs_baseline"] = lpips(a, b, args.lpips_weights)
     results["vbench"] = vbench_scaffold()
     results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
+    if args.cache_threshold > 0.0:
+        c = np.load(out_dir / "vorta_cached" / "latents.npy")
+        results["psnr_cached_vs_baseline_db"] = round(psnr(a, c), 2)
+        results["ssim_cached_vs_baseline"] = round(ssim(a, c), 4)
+        results["speedup_cached"] = round(
+            results["baseline"]["seconds"] / results["vorta_cached"]["seconds"], 3)
     (out_dir / "summary.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results), flush=True)
 
