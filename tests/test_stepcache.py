@@ -163,3 +163,54 @@ def test_model_level_cache_rejects_training_modes():
         model(lat, jnp.zeros((1,)), ctx, attn_cfg=ATTN, routing_mode="hard",
               return_losses=True, interpret=True, step_cache=cache,
               cache_threshold=0.1)
+
+
+@pytest.mark.parametrize("threshold,warmup", [(1e-12, 1), (1e9, 1)])
+def test_sp_cached_sampling_matches_single_device(threshold, warmup):
+    # the cache carry (residual sharded over sp, skip decision replicated)
+    # must reproduce the single-device cached trajectory exactly — both in
+    # the never-skip regime and with real skips happening
+    from vorta_tpu.parallel.mesh import make_mesh
+
+    pipe, latents, pe, ne = _setup()
+    mesh = make_mesh(sp_size=2, dp_size=1)
+    pipe_sp = WanT2VPipeline(pipe.model, attn_cfg=ATTN, interpret=True,
+                             mesh=mesh)
+    cfg = SamplingConfig(num_inference_steps=4, guidance_scale=5.0,
+                         routing_mode="hard", cache_threshold=threshold,
+                         cache_warmup=warmup)
+    ref, _ = pipe(latents, pe, ne, sampling=cfg)
+    out, _ = pipe_sp(latents, pe, ne, sampling=cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+    if threshold > 1.0:
+        # skips must actually have happened in both
+        base = dataclasses.replace(cfg, cache_threshold=0.0)
+        plain, _ = pipe(latents, pe, ne, sampling=base)
+        assert not np.array_equal(np.asarray(out), np.asarray(plain))
+
+
+def test_hunyuan_sp_cached_sampling_matches_single_device():
+    from vorta_tpu.models.hunyuan import HUNYUAN_TINY, HunyuanModel
+    from vorta_tpu.parallel.mesh import make_mesh
+    from vorta_tpu.pipelines.hunyuan_t2v import (
+        HunyuanSamplingConfig,
+        HunyuanT2VPipeline,
+    )
+
+    cfg = HUNYUAN_TINY
+    model = HunyuanModel(cfg, rngs=nnx.Rngs(0))
+    pipe = HunyuanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    mesh = make_mesh(sp_size=2, dp_size=1)
+    pipe_sp = HunyuanT2VPipeline(model, attn_cfg=ATTN, interpret=True,
+                                 mesh=mesh)
+    latents = pipe.prepare_latents(jax.random.PRNGKey(0), 1, 13, 64, 64)
+    text = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.text_len, cfg.text_dim))
+    mask = jnp.arange(cfg.text_len)[None, :] < 17
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.pooled_dim))
+    sampling = HunyuanSamplingConfig(num_inference_steps=4, routing_mode="hard",
+                                     cache_threshold=1e9, cache_warmup=1)
+    ref = pipe(latents, text, mask, pooled, sampling=sampling)
+    out = pipe_sp(latents, text, mask, pooled, sampling=sampling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)

@@ -209,30 +209,49 @@ class HunyuanT2VPipeline:
         mesh = self.mesh
         graphdef, _ = nnx.split(self.model)
 
-        def velocity_fn(state, x, text, mask, pooled, neg_text, neg_pooled, t):
+        def velocity_fn(state, x, text, mask, pooled, neg_text, neg_pooled, t,
+                        caches, force):
             model = nnx.merge(graphdef, state)
             b = x.shape[0]
             guidance = jnp.full((b,), guidance_value)
+            ckw = dict(cache_threshold=cache_threshold,
+                       cache_force_compute=force,
+                       cache_coefficients=cache_coefficients) if use_cache else {}
+            new_caches = ()
             out = model(
                 x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
                 interpret=interpret, sp_axis="sp", mm_precision=mm, act_scales=act_scales,
+                step_cache=caches[0] if use_cache else None, **ckw,
             )
+            if use_cache:
+                new_caches = (out.step_cache,)
             v = out.sample.astype(jnp.float32)
             if do_cfg:
-                vu = model(
+                out_u = model(
                     x.astype(model.dtype), t, neg_text, mask, neg_pooled,
                     guidance=guidance, attn_cfg=attn_cfg,
                     routing_mode=routing_mode, interpret=interpret, sp_axis="sp",
                     mm_precision=mm, act_scales=act_scales,
-                ).sample.astype(jnp.float32)
+                    step_cache=caches[1] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = new_caches + (out_u.step_cache,)
+                vu = out_u.sample.astype(jnp.float32)
                 v = vu + cfg_scale * (v - vu)
-            return v
+            return v, new_caches
+
+        from ..ops.stepcache import StepCache as _SC, init_step_cache
+
+        cache_spec = _SC(prev_ind=P(), residual=P(None, "sp"), acc=P(), valid=P())
+        n_arms = (1 if not do_cfg else 2) if use_cache else 0
+        cache_specs = (cache_spec,) * n_arms
 
         smapped = shard_map(
             velocity_fn, mesh=mesh,
-            in_specs=(P(), P(None, "sp"), P(), P(), P(), P(), P(), P()),
-            out_specs=P(None, "sp"),
+            in_specs=(P(), P(None, "sp"), P(), P(), P(), P(), P(), P(),
+                      cache_specs, P()),
+            out_specs=(P(None, "sp"), cache_specs),
             check_vma=False,
         )
 
@@ -244,13 +263,32 @@ class HunyuanT2VPipeline:
             latents = jax.device_put(
                 latents.astype(jnp.float32), NamedSharding(mesh, P(None, "sp"))
             )
+            caches0 = ()
+            if use_cache:
+                cfg = self.model.cfg
+                pt, ph, pw = cfg.patch_size
+                b0, t_px, h_px, w_px, _ = latents.shape
+                seq = (t_px // pt) * (h_px // ph) * (w_px // pw)
+
+                def mk(nb):
+                    c = init_step_cache(nb, seq, cfg.dim, cfg.dim,
+                                        self.model.dtype)
+                    return _SC(*(jax.device_put(a, NamedSharding(mesh, s))
+                                 for a, s in zip(c, cache_spec)))
+
+                caches0 = tuple(mk(b0) for _ in range(n_arms))
 
             @jax.jit
-            def loop(state, latents, text, mask, pooled, neg_text, neg_pooled):
+            def loop(state, latents, text, mask, pooled, neg_text, neg_pooled,
+                     caches0):
                 def body(carry, i):
-                    x, m_prev, m_prev2, x_prev = carry
+                    x, m_prev, m_prev2, x_prev, caches = carry
                     t = jnp.full((x.shape[0],), timesteps[i])
-                    v = smapped(state, x, text, mask, pooled, neg_text, neg_pooled, t)
+                    force = (i < cache_warmup) | (i == n_steps - 1)
+                    v, new_caches = smapped(
+                        state, x, text, mask, pooled, neg_text, neg_pooled, t,
+                        caches, force,
+                    )
                     if use_unipc:
                         x_next, m_i, x_hist = unipc_sample_step(
                             x, v, i, sigmas, m_prev, x_prev, n_steps,
@@ -259,17 +297,18 @@ class HunyuanT2VPipeline:
                     else:
                         x_next = x + (sigmas[i + 1] - sigmas[i]) * v
                         m_i, x_hist = m_prev, x_prev
-                    return (x_next, m_i, m_prev, x_hist), ()
+                    return (x_next, m_i, m_prev, x_hist, new_caches), ()
 
-                (x, _, _, _), _ = jax.lax.scan(
+                (x, _, _, _, _), _ = jax.lax.scan(
                     body,
                     (latents, jnp.zeros_like(latents), jnp.zeros_like(latents),
-                     latents),
+                     latents, caches0),
                     jnp.arange(n_steps),
                 )
                 return x
 
-            return loop(state, latents, text, mask, pooled, neg_text, neg_pooled)
+            return loop(state, latents, text, mask, pooled, neg_text,
+                        neg_pooled, caches0)
 
         return run_sp
 

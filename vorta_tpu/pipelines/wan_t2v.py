@@ -235,8 +235,12 @@ class WanT2VPipeline:
         mesh = self.mesh
         graphdef, _ = nnx.split(self.model)
 
-        def velocity_fn(state, x, pe, ne, img, t):
+        def velocity_fn(state, x, pe, ne, img, t, caches, force):
             model = nnx.merge(graphdef, state)
+            ckw = dict(cache_threshold=cache_threshold,
+                       cache_force_compute=force,
+                       cache_coefficients=cache_coefficients) if use_cache else {}
+            new_caches = ()
             if cfg_batch:
                 out = model(
                     jnp.concatenate([x, x]).astype(model.dtype),
@@ -248,32 +252,52 @@ class WanT2VPipeline:
                     ),
                     interpret=interpret, sp_axis="sp",
                     mm_precision=mm, act_scales=act_scales,
+                    step_cache=caches[0] if use_cache else None, **ckw,
                 )
+                if use_cache:
+                    new_caches = (out.step_cache,)
                 bb = x.shape[0]
                 vc = out.sample[:bb].astype(jnp.float32)
                 vu = out.sample[bb:].astype(jnp.float32)
-                return vu + guidance_scale * (vc - vu)
+                return vu + guidance_scale * (vc - vu), new_caches
             out = model(
                 x.astype(model.dtype), t, pe,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
                 image_context=img, interpret=interpret, sp_axis="sp",
                 mm_precision=mm, act_scales=act_scales,
+                step_cache=caches[0] if use_cache else None, **ckw,
             )
+            if use_cache:
+                new_caches = (out.step_cache,)
             v = out.sample.astype(jnp.float32)
             if do_cfg:
-                vu = model(
+                out_u = model(
                     x.astype(model.dtype), t, ne,
                     attn_cfg=attn_cfg, routing_mode=routing_mode,
                     image_context=img, interpret=interpret, sp_axis="sp",
                     mm_precision=mm, act_scales=act_scales,
-                ).sample.astype(jnp.float32)
+                    step_cache=caches[1] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = new_caches + (out_u.step_cache,)
+                vu = out_u.sample.astype(jnp.float32)
                 v = vu + guidance_scale * (v - vu)
-            return v
+            return v, new_caches
+
+        # per-arm cache specs: the residual lives in token space, sharded
+        # over the sequence like the latents; indicator/acc/valid replicated
+        from ..ops.stepcache import StepCache as _SC, init_step_cache
+
+        cache_spec = _SC(prev_ind=P(), residual=P(None, "sp"), acc=P(), valid=P())
+        n_arms = 0
+        if use_cache:
+            n_arms = 1 if (cfg_batch or not do_cfg) else 2
+        cache_specs = (cache_spec,) * n_arms
 
         smapped = shard_map(
             velocity_fn, mesh=mesh,
-            in_specs=(P(), P(None, "sp"), P(), P(), P(), P()),
-            out_specs=P(None, "sp"),
+            in_specs=(P(), P(None, "sp"), P(), P(), P(), P(), cache_specs, P()),
+            out_specs=(P(None, "sp"), cache_specs),
             check_vma=False,
         )
 
@@ -285,13 +309,31 @@ class WanT2VPipeline:
             latents = jax.device_put(
                 latents.astype(jnp.float32), NamedSharding(mesh, P(None, "sp"))
             )
+            caches0 = ()
+            if use_cache:
+                cfg = self.model.cfg
+                pt, ph, pw = cfg.patch_size
+                b0, t_px, h_px, w_px, _ = latents.shape
+                seq = (t_px // pt) * (h_px // ph) * (w_px // pw)
+                def mk(nb):
+                    c = init_step_cache(nb, seq, cfg.dim, 6 * cfg.dim,
+                                        self.model.dtype)
+                    return _SC(*(jax.device_put(a, NamedSharding(mesh, s))
+                                 for a, s in zip(c, cache_spec)))
+
+                caches0 = tuple(
+                    mk(2 * b0 if cfg_batch else b0) for _ in range(n_arms)
+                )
 
             @jax.jit
-            def loop(state, latents, pe, ne, image_embeds):
+            def loop(state, latents, pe, ne, image_embeds, caches0):
                 def body(carry, i):
-                    x, m_prev, m_prev2, x_prev = carry
+                    x, m_prev, m_prev2, x_prev, caches = carry
                     t = jnp.full((x.shape[0],), timesteps[i])
-                    v = smapped(state, x, pe, ne, image_embeds, t)
+                    force = (i < cache_warmup) | (i == n_steps - 1)
+                    v, new_caches = smapped(
+                        state, x, pe, ne, image_embeds, t, caches, force
+                    )
                     if use_unipc:
                         x_next, m_i, x_hist = unipc_sample_step(
                             x, v, i, sigmas, m_prev, x_prev, n_steps,
@@ -300,17 +342,17 @@ class WanT2VPipeline:
                     else:
                         x_next = x + (sigmas[i + 1] - sigmas[i]) * v
                         m_i, x_hist = m_prev, x_prev
-                    return (x_next, m_i, m_prev, x_hist), ()
+                    return (x_next, m_i, m_prev, x_hist, new_caches), ()
 
-                (x, _, _, _), _ = jax.lax.scan(
+                (x, _, _, _, _), _ = jax.lax.scan(
                     body,
                     (latents, jnp.zeros_like(latents), jnp.zeros_like(latents),
-                     latents),
+                     latents, caches0),
                     jnp.arange(n_steps),
                 )
                 return x
 
-            return loop(state, latents, pe, ne, image_embeds), None
+            return loop(state, latents, pe, ne, image_embeds, caches0), None
 
         return run_sp
 
