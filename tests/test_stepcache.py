@@ -214,3 +214,27 @@ def test_hunyuan_sp_cached_sampling_matches_single_device():
     out = pipe_sp(latents, text, mask, pooled, sampling=sampling)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_hidden_delta_probe_matches_cached_residual():
+    # tools/fit_cache_poly.py fits on (indicator, hidden_delta) pairs; the
+    # delta it records must be exactly the residual the cache would replay
+    model = WanModel(WAN_TINY, rngs=nnx.Rngs(0))
+    lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, WAN_TINY.in_channels))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, WAN_TINY.text_len, WAN_TINY.text_dim))
+    t = jnp.full((1,), 500.0)
+    probe = model(lat, t, ctx, attn_cfg=ATTN, routing_mode="hard",
+                  interpret=True, return_hidden_delta=True)
+    assert probe.temb_indicator.shape == (1, 6 * WAN_TINY.dim)
+    cache = init_step_cache(1, 4 * 4 * 4, WAN_TINY.dim, 6 * WAN_TINY.dim,
+                            jnp.float32)
+    out = model(lat, t, ctx, attn_cfg=ATTN, routing_mode="hard",
+                interpret=True, step_cache=cache, cache_threshold=0.1)
+    np.testing.assert_allclose(
+        np.asarray(out.step_cache.residual), np.asarray(probe.hidden_delta),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.step_cache.prev_ind), np.asarray(probe.temb_indicator),
+        rtol=1e-6, atol=0,
+    )

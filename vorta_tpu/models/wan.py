@@ -50,6 +50,8 @@ class WanOutput:
     routing_scores: Optional[jax.Array] = None  # (L, B, H, E)
     mm_calibration: Optional[dict] = None  # {site: (L,) amax} (calibrate_mm)
     step_cache: Optional[object] = None  # ops.stepcache.StepCache (serving)
+    hidden_delta: Optional[jax.Array] = None  # block-stack out - in (B,S,D)
+    temb_indicator: Optional[jax.Array] = None  # (B, 6*dim) cache indicator
 
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -386,6 +388,7 @@ class WanModel(nnx.Module):
         cache_threshold: float = 0.0,
         cache_force_compute: Optional[jax.Array] = None,  # () bool
         cache_coefficients=None,
+        return_hidden_delta: bool = False,  # tools/fit_cache_poly.py probe
     ) -> WanOutput:
         """Forward.  With ``sp_axis`` set (inside shard_map over that mesh
         axis), ``latents`` hold this rank's contiguous latent-frame chunk and
@@ -539,6 +542,7 @@ class WanModel(nnx.Module):
             )
 
         new_cache = None
+        x_stack_in = x
         if step_cache is None:
             (x, x_t, reg_loss, hidden_loss), (all_scores, mm_amax) = scan_blocks(x)
         else:
@@ -611,6 +615,11 @@ class WanModel(nnx.Module):
             routing_scores=all_scores if return_scores else None,
             mm_calibration=mm_amax if calibrate_mm else None,
             step_cache=new_cache,
+            hidden_delta=(x - x_stack_in) if return_hidden_delta else None,
+            temb_indicator=(
+                temb6.reshape(b, -1).astype(jnp.float32)
+                if return_hidden_delta else None
+            ),
         )
 
     def _unpatchify(self, out: jax.Array, b: int, grid: Tuple[int, int, int]) -> jax.Array:

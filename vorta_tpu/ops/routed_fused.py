@@ -334,6 +334,13 @@ def fused_routed_attention(
                     lambda: jnp.zeros(q.shape, q.dtype),
                 )
 
+            if os.environ.get("VORTA_NO_GUARDS"):
+                # experiment: drop the outer conds for the two experts a
+                # trained router always populates (the masked kernels
+                # already skip inactive heads); keep the FULL guard — that
+                # expert is usually empty and its masked call still streams
+                return sta_all() + guard(FULL, full_all) + lowres_all()
+
             return (
                 guard(STA, sta_all)
                 + guard(FULL, full_all)
