@@ -334,13 +334,10 @@ def fused_routed_attention(
                     lambda: jnp.zeros(q.shape, q.dtype),
                 )
 
-            if os.environ.get("VORTA_NO_GUARDS"):
-                # experiment: drop the outer conds for the two experts a
-                # trained router always populates (the masked kernels
-                # already skip inactive heads); keep the FULL guard — that
-                # expert is usually empty and its masked call still streams
-                return sta_all() + guard(FULL, full_all) + lowres_all()
-
+            # Negative result (round 3, measured on TPU): dropping the STA
+            # and LOWRES guards (the masked kernels already skip inactive
+            # heads) was 2880 -> 2985 ms e2e — the conds' expert-empty
+            # early-outs beat the unconditional masked launches. Keep guards.
             return (
                 guard(STA, sta_all)
                 + guard(FULL, full_all)
