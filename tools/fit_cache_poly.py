@@ -32,6 +32,10 @@ def main():
     p.add_argument("--model", default="wan-tiny",
                    choices=["wan-tiny", "wan-1_3B", "wan-14B"])
     p.add_argument("--torch_checkpoint", default=None)
+    p.add_argument("--router", default=None,
+                   help="trained-router npz (tools/train_bench_router.py "
+                        "format, e.g. assets/bench_router_wan1_3b.npz) so the "
+                        "probed trajectory uses the served routing mix")
     p.add_argument("--num_frames", type=int, default=13)
     p.add_argument("--height", type=int, default=64)
     p.add_argument("--width", type=int, default=64)
@@ -70,6 +74,15 @@ def main():
         from vorta_tpu.io.torch_import import load_wan_torch_weights
 
         load_wan_torch_weights(model, args.torch_checkpoint)
+    if args.router:
+        from vorta_tpu.training.step import router_partition
+
+        _gd, router_state, frozen_state = router_partition(model)
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from bench import load_router_npz
+
+        router_state = load_router_npz(router_state, args.router)
+        model = nnx.merge(_gd, router_state, frozen_state)
 
     pipe = WanT2VPipeline(model, attn_cfg=attn, interpret=interpret)
     x = pipe.prepare_latents(jax.random.PRNGKey(args.seed), 1,
