@@ -25,6 +25,12 @@ import numpy as np
 from vorta_tpu.io.quality import lpips, psnr, routing_mix, ssim, vbench_scaffold
 
 
+def _load_cache_poly(args):
+    if not args.cache_poly:
+        return None
+    return tuple(float(c) for c in np.load(args.cache_poly)["coefficients"])
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="wan-1_3B",
@@ -55,6 +61,10 @@ def main(argv=None):
                         "residual caching (ops/stepcache.py) — reports its "
                         "wall-clock and quality vs the SAME baseline")
     p.add_argument("--cache_warmup", type=int, default=2)
+    p.add_argument("--cache_poly", default=None,
+                   help="npz from tools/fit_cache_poly.py; its fitted "
+                        "polynomial rescales the raw temb indicator before "
+                        "the threshold compare (TeaCache recipe)")
     p.add_argument("--tau_sweep", default=None,
                    help="comma list of tau_sparse values; per-tau routed "
                         "sample + quality metrics + routing mix")
@@ -174,6 +184,7 @@ def main(argv=None):
             mm_precision=routed_mm if mode == "hard" else "bf16",
             cache_threshold=args.cache_threshold if cached else 0.0,
             cache_warmup=args.cache_warmup,
+            cache_coefficients=_load_cache_poly(args) if cached else None,
         )
         # the fixed-seed sample (for the PSNR comparison)
         latents, scores = pipe(noise, pe, ne, sampling=sampling)
@@ -358,6 +369,7 @@ def _main_hunyuan(args, interpret):
             mm_precision=routed_mm if mode == "hard" else "bf16",
             cache_threshold=args.cache_threshold if cached else 0.0,
             cache_warmup=args.cache_warmup,
+            cache_coefficients=_load_cache_poly(args) if cached else None,
         )
         latents = pipe(noise, text, mask, pooled, sampling=sampling)
         latents.block_until_ready()
