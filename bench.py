@@ -53,6 +53,44 @@ def device_seconds(fn, *args, iters: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip MXU peak (v5e: 394 int8)
+
+
+def wan_flops_per_forward(cfg, attn, mix):
+    """Analytic matmul FLOPs of one Wan denoise forward at routing ``mix``
+    (= {"full": f, "lowres": f, "sta": f} head fractions).
+
+    Counts the MXU work only (projections, FFN, attention dots); norms,
+    RoPE, softmax and pooling are VPU work excluded from the MFU ratio —
+    this matches how "speed of light" is defined for the systolic array.
+    """
+    from vorta_tpu.geometry import sta_tile_mask
+    from vorta_tpu.ops.experts import lowres_groups_for
+
+    t, h, w = attn.latent_shape
+    S = t * h * w
+    D = cfg.dim
+    F = cfg.ffn_dim
+    L = cfg.text_len
+    d = cfg.head_dim
+    H = cfg.num_heads
+    Sp = lowres_groups_for(attn).pooled_length
+    tile_mask = sta_tile_mask(attn.latent_shape, attn.sta_window, attn.sta_tile)
+    tpt = attn.tokens_per_tile
+    sta_pairs = int(tile_mask.sum()) * tpt * tpt
+
+    proj = 4 * 2 * S * D * D            # self qkv + out
+    ffn = 2 * 2 * S * D * F             # proj_in + proj_out
+    cross = 2 * 2 * S * D * D + 2 * 2 * L * D * D + 4 * S * L * D
+    pairs = (mix.get("full", 0.0) * S * S
+             + mix.get("lowres", 0.0) * Sp * Sp
+             + mix.get("sta", 0.0) * sta_pairs)
+    self_attn = 4 * d * H * pairs       # QK^T + PV, 2 matmuls x 2 flops/MAC
+    per_block = proj + ffn + cross + self_attn
+    head = 2 * S * D * cfg.out_channels * np.prod(cfg.patch_size)
+    return cfg.num_layers * per_block + head
+
+
 def load_router_npz(router_state, path):
     """Merge tools/train_bench_router.py's npz into a router state pytree."""
     data = np.load(path)
@@ -189,6 +227,27 @@ def main():
     routed_s = device_seconds(
         lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"), router_state, *big)
 
+    # --- MFU: analytic matmul FLOPs over measured time (VERDICT round-3
+    # item 10 — the speedup ceiling argument lives on the floor's MFU)
+    @jax.jit
+    def scores_fwd(rstate, fstate, lat, ctx):
+        m = nnx.merge(graphdef, rstate, fstate)
+        out = m(lat, jnp.full((b,), 500.0), ctx, attn_cfg=attn,
+                routing_mode="hard", return_scores=True)
+        return out.routing_scores
+
+    from vorta_tpu.io.quality import routing_mix
+
+    mix = routing_mix(
+        np.asarray(scores_fwd(router_state, frozen_state, latents, context)),
+        attn.tau_sparse,
+    )
+    full_fl = wan_flops_per_forward(WAN_1_3B, attn,
+                                    {"full": 1.0, "lowres": 0.0, "sta": 0.0})
+    routed_fl = wan_flops_per_forward(WAN_1_3B, attn, mix)
+    full_tfs = full_fl / full_s / 1e12
+    routed_tfs = routed_fl / routed_s / 1e12
+
     result = {
         "metric": f"wan1.3b_{args.geom}_77f_denoise_fwd_ms_routed"
                   + ("" if args.mm == "bf16" else f"_{args.mm}"),
@@ -197,6 +256,11 @@ def main():
         "vs_baseline": round(full_s / routed_s, 4),
         "full_ms": round(full_s * 1e3, 2),
         "router": "trained-100step-reference-recipe" if trained else "random-init",
+        "routing_mix": mix,
+        "full_tflops": round(full_tfs, 1),
+        "full_mfu": round(full_tfs / V5E_PEAK_BF16_TFLOPS, 3),
+        "routed_tflops": round(routed_tfs, 1),
+        "routed_mfu": round(routed_tfs / V5E_PEAK_BF16_TFLOPS, 3),
     }
     if trained:
         random_s = device_seconds(

@@ -22,7 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from vorta_tpu.io.quality import lpips, psnr, routing_mix, ssim, vbench_scaffold
+from vorta_tpu.io.quality import (lpips, psnr, routing_mix, ssim,
+                                  vbench_scaffold, weightfree_video_metrics)
 
 
 def _load_cache_poly(args):
@@ -68,6 +69,20 @@ def main(argv=None):
     p.add_argument("--tau_sweep", default=None,
                    help="comma list of tau_sparse values; per-tau routed "
                         "sample + quality metrics + routing mix")
+    p.add_argument("--frontier_tau", default=None,
+                   help="comma list of tau_sparse values for the joint "
+                        "tau x cache_threshold frontier table")
+    p.add_argument("--frontier_cache", default=None,
+                   help="comma list of cache_threshold values (0 = cache "
+                        "off) for the frontier; every (tau, thr) cell "
+                        "reports speedup + PSNR/SSIM + weight-free video "
+                        "metrics vs the same baseline")
+    p.add_argument("--stepwise", action="store_true",
+                   help="drive each arm one jit dispatch per denoise step "
+                        "(pipe.make_stepper): required on remote-tunneled "
+                        "TPUs where a full-scan dispatch at 720p exceeds the "
+                        "~60 s kill; timing then includes per-step dispatch "
+                        "overhead (~10-30 ms/step, <1%% at 720p)")
     p.add_argument("--lpips_weights", default=None,
                    help="local LPIPS net weights (no pretrained nets ship "
                         "in this environment; lpips is null without this)")
@@ -167,8 +182,24 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
     )
 
+    def run_arm(run_pipe, sampling, noise_in):
+        """One arm: jit'd scan loop, or host-driven stepper (--stepwise)."""
+        if not args.stepwise:
+            return run_pipe(noise_in, pe, ne, sampling=sampling)
+        init_carry, step_fn, n_steps = run_pipe.make_stepper(sampling)
+        carry = init_carry(noise_in)
+        sc_all = []
+        for i in range(n_steps):
+            carry, sc = step_fn(carry, i, pe, ne)
+            if sampling.return_scores:
+                sc_all.append(sc)
+        lat = carry[0]
+        lat.block_until_ready()
+        scores = jnp.stack(sc_all) if sc_all else None
+        return lat, scores
+
     out_dir = Path(args.output_dir)
-    results = {"mm_routed": args.mm}
+    results = {"mm_routed": args.mm, "stepwise": bool(args.stepwise)}
     arms = [("baseline", "off"), ("vorta", "hard")]
     if args.cache_threshold > 0.0:
         arms.append(("vorta_cached", "hard"))
@@ -187,7 +218,7 @@ def main(argv=None):
             cache_coefficients=_load_cache_poly(args) if cached else None,
         )
         # the fixed-seed sample (for the PSNR comparison)
-        latents, scores = pipe(noise, pe, ne, sampling=sampling)
+        latents, scores = run_arm(pipe, sampling, noise)
         latents.block_until_ready()
         if mode == "hard" and not cached and scores is not None:
             results["routing_mix"] = routing_mix(np.asarray(scores), args.tau_sparse)
@@ -203,7 +234,7 @@ def main(argv=None):
             1, args.num_frames, args.height, args.width,
         )
         t0 = time.time()
-        out, _ = pipe(fresh, pe, ne, sampling=sampling)
+        out, _ = run_arm(pipe, sampling, fresh)
         out.block_until_ready()
         dt = time.time() - t0
         results[name] = {"seconds": round(dt, 2),
@@ -215,12 +246,14 @@ def main(argv=None):
     results["psnr_vorta_vs_baseline_db"] = round(psnr(a, b), 2)
     results["ssim_vorta_vs_baseline"] = round(ssim(a, b), 4)
     results["lpips_vorta_vs_baseline"] = lpips(a, b, args.lpips_weights)
+    results["weightfree_vorta"] = weightfree_video_metrics(b, a)
     results["vbench"] = vbench_scaffold()
     results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
     if args.cache_threshold > 0.0:
         c = np.load(out_dir / "vorta_cached" / "latents.npy")
         results["psnr_cached_vs_baseline_db"] = round(psnr(a, c), 2)
         results["ssim_cached_vs_baseline"] = round(ssim(a, c), 4)
+        results["weightfree_cached"] = weightfree_video_metrics(c, a)
         results["speedup_cached"] = round(
             results["baseline"]["seconds"] / results["vorta_cached"]["seconds"], 3)
 
@@ -243,14 +276,14 @@ def main(argv=None):
                 cfg_batch=args.cfg_batch,
                 mm_precision=routed_mm,
             )
-            lat_t, scores_t = pipe_t(noise, pe, ne, sampling=sampling)
+            lat_t, scores_t = run_arm(pipe_t, sampling, noise)
             lat_t.block_until_ready()
             fresh = pipe.prepare_latents(
                 jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF),
                 1, args.num_frames, args.height, args.width,
             )
             t0 = time.time()
-            out, _ = pipe_t(fresh, pe, ne, sampling=sampling)
+            out, _ = run_arm(pipe_t, sampling, fresh)
             out.block_until_ready()
             dt = time.time() - t0
             lat_np = np.asarray(lat_t)
@@ -261,10 +294,59 @@ def main(argv=None):
                 "psnr_db": round(psnr(a, lat_np), 2),
                 "ssim": round(ssim(a, lat_np), 4),
                 "mix": routing_mix(np.asarray(scores_t), tau),
+                **weightfree_video_metrics(lat_np, a),
             }
             sweep.append(row)
             print(f"[tau={tau}] {json.dumps(row)}", flush=True)
         results["tau_sweep"] = sweep
+
+    if args.frontier_tau and args.frontier_cache:
+        # joint tau_sparse x cache_threshold frontier: the two serving knobs
+        # trade speed against quality on different axes (routing moves heads
+        # to cheaper experts; caching skips whole steps) — the knee of this
+        # table is the recommended serving point
+        import dataclasses as _dc
+
+        frontier = []
+        for tau in (float(t) for t in args.frontier_tau.split(",")):
+            cfg_t = _dc.replace(attn_cfg, tau_sparse=tau)
+            pipe_t = WanT2VPipeline(model, attn_cfg=cfg_t, interpret=interpret,
+                                    act_scales=act_scales)
+            for thr in (float(t) for t in args.frontier_cache.split(",")):
+                sampling = SamplingConfig(
+                    num_inference_steps=args.num_inference_steps,
+                    guidance_scale=args.guidance_scale,
+                    flow_shift=args.flow_shift,
+                    routing_mode="hard",
+                    cfg_batch=args.cfg_batch,
+                    mm_precision=routed_mm,
+                    cache_threshold=thr,
+                    cache_warmup=args.cache_warmup,
+                    cache_coefficients=_load_cache_poly(args) if thr > 0 else None,
+                )
+                lat_t, _ = run_arm(pipe_t, sampling, noise)
+                lat_t.block_until_ready()
+                fresh = pipe.prepare_latents(
+                    jax.random.PRNGKey(int(time.time()) & 0x7FFFFFFF),
+                    1, args.num_frames, args.height, args.width,
+                )
+                t0 = time.time()
+                out, _ = run_arm(pipe_t, sampling, fresh)
+                out.block_until_ready()
+                dt = time.time() - t0
+                lat_np = np.asarray(lat_t)
+                row = {
+                    "tau": tau, "cache_threshold": thr,
+                    "seconds": round(dt, 2),
+                    "speedup": round(results["baseline"]["seconds"] / dt, 3),
+                    "psnr_db": round(psnr(a, lat_np), 2),
+                    "ssim": round(ssim(a, lat_np), 4),
+                    **weightfree_video_metrics(lat_np, a),
+                }
+                frontier.append(row)
+                print(f"[frontier tau={tau} thr={thr}] {json.dumps(row)}",
+                      flush=True)
+        results["frontier"] = frontier
 
     (out_dir / "summary.json").write_text(json.dumps(results, indent=2))
     print(json.dumps(results), flush=True)
@@ -354,8 +436,20 @@ def _main_hunyuan(args, interpret):
     pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret,
                               act_scales=act_scales)
 
+    def run_arm(run_pipe, sampling, noise_in):
+        """One arm: jit'd scan loop, or host-driven stepper (--stepwise)."""
+        if not args.stepwise:
+            return run_pipe(noise_in, text, mask, pooled, sampling=sampling)
+        init_carry, step_fn, n_steps = run_pipe.make_stepper(sampling)
+        carry = init_carry(noise_in)
+        for i in range(n_steps):
+            carry, _ = step_fn(carry, i, text, mask, pooled)
+        lat = carry[0]
+        lat.block_until_ready()
+        return lat
+
     out_dir = Path(args.output_dir)
-    results = {"mm_routed": args.mm}
+    results = {"mm_routed": args.mm, "stepwise": bool(args.stepwise)}
     arms = [("baseline", "off"), ("vorta", "hard")]
     if args.cache_threshold > 0.0:
         arms.append(("vorta_cached", "hard"))
@@ -371,7 +465,7 @@ def _main_hunyuan(args, interpret):
             cache_warmup=args.cache_warmup,
             cache_coefficients=_load_cache_poly(args) if cached else None,
         )
-        latents = pipe(noise, text, mask, pooled, sampling=sampling)
+        latents = run_arm(pipe, sampling, noise)
         latents.block_until_ready()
         (out_dir / name).mkdir(parents=True, exist_ok=True)
         np.save(out_dir / name / "latents.npy", np.asarray(latents))
@@ -380,7 +474,7 @@ def _main_hunyuan(args, interpret):
             1, args.num_frames, args.height, args.width,
         )
         t0 = time.time()
-        out = pipe(fresh, text, mask, pooled, sampling=sampling)
+        out = run_arm(pipe, sampling, fresh)
         out.block_until_ready()
         dt = time.time() - t0
         results[name] = {"seconds": round(dt, 2),
@@ -392,12 +486,14 @@ def _main_hunyuan(args, interpret):
     results["psnr_vorta_vs_baseline_db"] = round(psnr(a, b), 2)
     results["ssim_vorta_vs_baseline"] = round(ssim(a, b), 4)
     results["lpips_vorta_vs_baseline"] = lpips(a, b, args.lpips_weights)
+    results["weightfree_vorta"] = weightfree_video_metrics(b, a)
     results["vbench"] = vbench_scaffold()
     results["speedup"] = round(results["baseline"]["seconds"] / results["vorta"]["seconds"], 3)
     if args.cache_threshold > 0.0:
         c = np.load(out_dir / "vorta_cached" / "latents.npy")
         results["psnr_cached_vs_baseline_db"] = round(psnr(a, c), 2)
         results["ssim_cached_vs_baseline"] = round(ssim(a, c), 4)
+        results["weightfree_cached"] = weightfree_video_metrics(c, a)
         results["speedup_cached"] = round(
             results["baseline"]["seconds"] / results["vorta_cached"]["seconds"], 3)
     (out_dir / "summary.json").write_text(json.dumps(results, indent=2))

@@ -57,6 +57,16 @@ def parse_args(argv=None):
                         "TeaCache-style values ~0.05-0.3)")
     p.add_argument("--cache_warmup", type=int, default=1,
                    help="denoise steps at the start that always compute")
+    p.add_argument("--cache_poly", default=None,
+                   help="npz from tools/fit_cache_poly.py; its fitted "
+                        "polynomial rescales the cache indicator distance")
+    p.add_argument("--quantize_blocks", default=None, choices=["int4", "int8"],
+                   help="over-HBM serving (Wan-14B / Hunyuan-13B on one "
+                        "chip): keep the stacked frozen block weights in HBM "
+                        "at int4/int8 and dequantize one block per scan step "
+                        "(ops/quant; io/quant_serving). Replaces the "
+                        "reference's model CPU offload "
+                        "(scripts/wan/inference.py:156-162)")
     # generation
     p.add_argument("--prompt", default=None,
                    help="text prompt; needs --tokenizer_dir (+ encoder ckpt)")
@@ -112,6 +122,14 @@ def load_act_scales(args):
     scales = {k: data[k] for k in data.files}
     print(f"[sample] static int8 scales: {len(scales)} sites from {args.act_scales}")
     return scales
+
+
+def load_cache_poly(args):
+    """Fitted TeaCache rescale coefficients (tools/fit_cache_poly.py npz)."""
+    if not getattr(args, "cache_poly", None):
+        return None
+    import numpy as np
+    return tuple(float(c) for c in np.load(args.cache_poly)["coefficients"])
 
 
 def make_mesh_or_none(args):
@@ -222,13 +240,23 @@ def main(argv=None):
 
     print(f"[sample] model={args.model} grid={grid} routing="
           f"{'off' if args.native_attention else 'hard'} backend={jax.default_backend()}")
-    model = WanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
-    if args.torch_checkpoint:
+    qblocks = None
+    if args.quantize_blocks:
+        from vorta_tpu.io.quant_serving import build_quantized_wan
+
+        model, qblocks = build_quantized_wan(
+            model_cfg, bits=int(args.quantize_blocks[3:]),
+            checkpoint=args.torch_checkpoint,
+            router_checkpoint=args.router_checkpoint, dtype=dtype,
+        )
+    else:
+        model = WanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
+    if args.torch_checkpoint and not args.quantize_blocks:
         from vorta_tpu.io.torch_import import load_wan_torch_weights
 
         applied, missing = load_wan_torch_weights(model, args.torch_checkpoint)
         print(f"[sample] imported {len(applied)} tensors ({len(missing)} missing)")
-    if args.router_checkpoint:
+    if args.router_checkpoint and not args.quantize_blocks:
         rp = Path(args.router_checkpoint)
         if rp.suffix in (".pt", ".bin", ".safetensors"):
             from vorta_tpu.io.torch_import import load_router_torch_checkpoint
@@ -283,6 +311,7 @@ def main(argv=None):
     pipe = WanT2VPipeline(
         model, attn_cfg=attn_cfg, interpret=interpret,
         mesh=make_mesh_or_none(args), act_scales=load_act_scales(args),
+        quantized_blocks=qblocks,
     )
     sampling = SamplingConfig(
         num_inference_steps=args.num_inference_steps,
@@ -294,6 +323,7 @@ def main(argv=None):
         cfg_batch=args.cfg_batch,
         cache_threshold=args.cache_threshold,
         cache_warmup=args.cache_warmup,
+        cache_coefficients=load_cache_poly(args),
     )
 
     vae = None
@@ -372,13 +402,23 @@ def _main_hunyuan(args, interpret):
 
     print(f"[sample] model={args.model} grid={grid} routing="
           f"{'off' if args.native_attention else 'hard'} backend={jax.default_backend()}")
-    model = HunyuanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
-    if args.torch_checkpoint:
+    qblocks = None
+    if args.quantize_blocks:
+        from vorta_tpu.io.quant_serving import build_quantized_hunyuan
+
+        model, qblocks = build_quantized_hunyuan(
+            model_cfg, bits=int(args.quantize_blocks[3:]),
+            checkpoint=args.torch_checkpoint,
+            router_checkpoint=args.router_checkpoint, dtype=dtype,
+        )
+    else:
+        model = HunyuanModel(model_cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
+    if args.torch_checkpoint and not args.quantize_blocks:
         from vorta_tpu.io.torch_import import load_hunyuan_torch_weights
 
         applied, missing = load_hunyuan_torch_weights(model, args.torch_checkpoint)
         print(f"[sample] imported {len(applied)} tensors ({len(missing)} missing)")
-    if args.router_checkpoint:
+    if args.router_checkpoint and not args.quantize_blocks:
         rp = Path(args.router_checkpoint)
         if rp.suffix in (".pt", ".bin", ".safetensors"):
             from vorta_tpu.io.torch_import import load_hunyuan_router_torch_checkpoint
@@ -462,6 +502,7 @@ def _main_hunyuan(args, interpret):
     pipe = HunyuanT2VPipeline(
         model, attn_cfg=attn_cfg, interpret=interpret,
         mesh=make_mesh_or_none(args), vae=vae, act_scales=load_act_scales(args),
+        quantized_blocks=qblocks,
     )
     sampling = HunyuanSamplingConfig(
         num_inference_steps=args.num_inference_steps,
@@ -473,6 +514,7 @@ def _main_hunyuan(args, interpret):
         cfg_batch=args.cfg_batch,
         cache_threshold=args.cache_threshold,
         cache_warmup=args.cache_warmup,
+        cache_coefficients=load_cache_poly(args),
     )
 
     def generate(text, mask, pooled, out):

@@ -132,3 +132,128 @@ def test_clip_matches_transformers():
 
     out = np.asarray(ours(jnp.asarray(ids.numpy()), eos_token_id=eos))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_token_refiner_vs_torch_multihead_attention():
+    """Full TokenRefiner forward vs an INDEPENDENT torch implementation
+    whose attention is torch.nn.MultiheadAttention (upstream-maintained
+    packed-QKV MHA, not our layout re-written in torch) — retires the
+    round-3 refiner caveat as far as this no-diffusers environment allows
+    (models/hunyuan.py NOTE; ref modeling_hunyuan.py:621-645).
+
+    Validated semantics: masked mean-pool of the llama states, cos-first
+    sinusoid, silu time/text embedders, pre-norm attention with key padding
+    mask, gate chunk order (attn, mlp), tanh-approx gelu FFN."""
+    import jax
+
+    from vorta_tpu.models.hunyuan import HunyuanModelConfig, TokenRefiner
+
+    cfg = HunyuanModelConfig(
+        dim=64, num_heads=2, head_dim=32, dual_layers=1, single_layers=1,
+        text_dim=48, text_len=12, pooled_dim=16, rope_axes=(8, 12, 12),
+        freq_dim=32, refiner_layers=2, mlp_ratio=2.0,
+    )
+    refiner = TokenRefiner(cfg, dtype=jnp.float32, param_dtype=jnp.float32,
+                           rngs=nnx.Rngs(0))
+
+    def w(lin):  # flax (in, out) kernel -> torch (out, in) weight
+        return torch.from_numpy(np.asarray(lin.kernel[...], np.float32).T)
+
+    def bvec(lin):
+        return torch.from_numpy(np.asarray(lin.bias[...], np.float32))
+
+    rng = np.random.default_rng(0)
+    b, L = 2, cfg.text_len
+    text = rng.standard_normal((b, L, cfg.text_dim)).astype(np.float32)
+    t = np.asarray([500.0, 200.0], np.float32)
+    mask = np.ones((b, L), bool)
+    mask[0, 7:] = False  # padded prompt in row 0
+
+    ours = refiner(jnp.asarray(text), jnp.asarray(t), jnp.asarray(mask))
+
+    with torch.no_grad():
+        tt, mm_t = torch.from_numpy(text), torch.from_numpy(mask)
+        # sinusoid (diffusers get_timestep_embedding, flip_sin_to_cos)
+        half = cfg.freq_dim // 2
+        freqs = torch.exp(-np.log(10000.0) * torch.arange(half) / half)
+        args = torch.from_numpy(t)[:, None] * freqs[None]
+        sinus = torch.cat([args.cos(), args.sin()], dim=-1)
+        te = refiner.time_embedder
+        t_emb = torch.nn.functional.silu(sinus @ w(te.linear_1).T + bvec(te.linear_1))
+        t_emb = t_emb @ w(te.linear_2).T + bvec(te.linear_2)
+        mf = mm_t.float()[:, :, None]
+        pooled = (tt * mf).sum(1) / mf.sum(1).clamp(min=1.0)
+        pe = torch.nn.functional.silu(
+            pooled @ w(refiner.text_pool_embedder).T + bvec(refiner.text_pool_embedder))
+        pe = pe @ w(refiner.text_pool_out).T + bvec(refiner.text_pool_out)
+        c = t_emb + pe
+        x = tt @ w(refiner.proj_in).T + bvec(refiner.proj_in)
+
+        for blk in refiner.blocks:
+            mha = torch.nn.MultiheadAttention(cfg.dim, cfg.num_heads,
+                                              batch_first=True, bias=True)
+            mha.in_proj_weight.copy_(torch.cat(
+                [w(blk.to_q), w(blk.to_k), w(blk.to_v)], dim=0))
+            mha.in_proj_bias.copy_(torch.cat(
+                [bvec(blk.to_q), bvec(blk.to_k), bvec(blk.to_v)], dim=0))
+            mha.out_proj.weight.copy_(w(blk.to_out))
+            mha.out_proj.bias.copy_(bvec(blk.to_out))
+            gates = torch.nn.functional.silu(c) @ w(blk.gates.linear).T + \
+                bvec(blk.gates.linear)
+            g_attn, g_mlp = gates.chunk(2, dim=-1)
+            nx = torch.nn.functional.layer_norm(
+                x, (cfg.dim,),
+                torch.from_numpy(np.asarray(blk.norm1.scale[...], np.float32)),
+                torch.from_numpy(np.asarray(blk.norm1.bias[...], np.float32)),
+                eps=cfg.eps)
+            attn_out, _ = mha(nx, nx, nx, key_padding_mask=~mm_t,
+                              need_weights=False)
+            x = x + attn_out * g_attn[:, None]
+            n2 = torch.nn.functional.layer_norm(
+                x, (cfg.dim,),
+                torch.from_numpy(np.asarray(blk.norm2.scale[...], np.float32)),
+                torch.from_numpy(np.asarray(blk.norm2.bias[...], np.float32)),
+                eps=cfg.eps)
+            ff = torch.nn.functional.gelu(
+                n2 @ w(blk.ff.proj_in).T + bvec(blk.ff.proj_in),
+                approximate="tanh")
+            ff = ff @ w(blk.ff.proj_out).T + bvec(blk.ff.proj_out)
+            x = x + ff * g_mlp[:, None]
+
+    # padded rows may legitimately differ (their queries attend to garbage in
+    # one impl vs masked rows elsewhere are still computed); the CONSUMED
+    # tokens are the unpadded ones
+    got = np.asarray(ours)
+    ref = x.numpy()
+    np.testing.assert_allclose(got[1], ref[1], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[0, :7], ref[0, :7], rtol=2e-4, atol=2e-4)
+
+
+def test_hunyuan_checkpoint_key_validation():
+    """hunyuan_expected_keys matches the importer's consumed key set exactly
+    (the make_state fixture is the single source of truth for the diffusers
+    layout in this suite)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_hunyuan_import import CFG, make_state
+
+    from vorta_tpu.io.torch_import import (
+        hunyuan_expected_keys,
+        validate_hunyuan_checkpoint_keys,
+    )
+
+    sd = make_state()
+    missing, unexpected = validate_hunyuan_checkpoint_keys(
+        sd.keys(), CFG.dual_layers, CFG.single_layers, CFG.refiner_layers)
+    assert missing == [] and unexpected == [], (missing, unexpected)
+
+    # a truncated checkpoint is caught
+    sd2 = dict(sd)
+    sd2.pop("transformer_blocks.0.attn.to_q.weight")
+    sd2["bogus.key"] = sd["proj_out.bias"]
+    missing, unexpected = validate_hunyuan_checkpoint_keys(
+        sd2.keys(), CFG.dual_layers, CFG.single_layers, CFG.refiner_layers)
+    assert missing == ["transformer_blocks.0.attn.to_q.weight"]
+    assert unexpected == ["bogus.key"]

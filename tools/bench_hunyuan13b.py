@@ -36,6 +36,18 @@ def main():
                          "full-depth dense fwd (~75 s) exceeds the remote "
                          "tunnel's ~60 s dispatch kill, so the 'off' baseline "
                          "is measured at 0.5 and doubled (labeled in output)")
+    ap.add_argument("--fit_full", action="store_true",
+                    help="measure the DENSE forward at depth fractions 0.5 "
+                         "and 0.75 (both fit inside the 60 s dispatch limit) "
+                         "and linear-fit to depth 1.0: a measured-slope "
+                         "denominator replacing the doubled 0.5 estimate")
+    ap.add_argument("--cache_threshold", type=float, default=0.0,
+                    help="composed arm: real host-driven denoise trajectory "
+                         "(one dispatch per step) with step-residual caching "
+                         "on top of routing (+ --mm int8_static)")
+    ap.add_argument("--cache_poly", default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--flow_shift", type=float, default=7.0)
     args = ap.parse_args()
 
     import dataclasses
@@ -105,19 +117,74 @@ def main():
               f"{sum(quantized_bytes(q) for q in host_trees) / 2**30:.2f} GiB",
               flush=True)
         cache.write_bytes(pickle.dumps(host_trees, protocol=4))
+    def slice_tree(qt, frac):
+        def visit(leaf):
+            if isinstance(leaf, QTensor):
+                l2 = max(1, int(round(leaf.shape[0] * frac)))
+                return QTensor(q=leaf.q[:l2], scale=leaf.scale[:l2],
+                               shape=(l2,) + tuple(leaf.shape[1:]),
+                               dtype=leaf.dtype, bits=leaf.bits)
+            arr = np.asarray(leaf)
+            return arr[: max(1, int(round(arr.shape[0] * frac)))]
+        return jax.tree.map(visit, qt,
+                            is_leaf=lambda x: isinstance(x, QTensor))
+
+    if args.fit_full:
+        # --- measured-slope dense denominator: ms(frac) is linear in frac
+        # (the sliced stacks run the same per-block program, frac just sets
+        # the scan lengths), so two in-limit points (0.5: ~31 s, 0.75: ~47 s,
+        # both < the ~60 s tunnel dispatch kill) pin the full-depth cost.
+        b = 1
+        latents = jax.random.normal(
+            jax.random.PRNGKey(0),
+            (b, t_lat, args.height // 8, args.width // 8, cfg.in_channels),
+            jnp.bfloat16)
+        text = jax.random.normal(
+            jax.random.PRNGKey(1), (b, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+        mask = jnp.ones((b, cfg.text_len), bool)
+        pooled = jax.random.normal(
+            jax.random.PRNGKey(2), (b, cfg.pooled_dim), jnp.bfloat16)
+        guidance = jnp.full((b,), 6000.0)
+        graphdef, state = nnx.split(model)
+        fracs = (0.5, 0.75)
+        meas = {}
+        for frac in fracs:
+            sliced = [slice_tree(qt, frac) for qt in host_trees]
+            qpair_f = tuple(jax.tree.map(jnp.asarray, qt) for qt in sliced)
+            jax.block_until_ready(jax.tree.leaves(qpair_f))
+
+            @jax.jit
+            def dense_fwd(state, qpair_f, lat):
+                m = nnx.merge(graphdef, state)
+                return m(lat, jnp.full((b,), 500.0), text, mask, pooled,
+                         guidance=guidance, attn_cfg=attn, routing_mode="off",
+                         quantized_blocks=qpair_f).sample.astype(
+                             jnp.float32).mean()
+
+            t0 = time.time()
+            float(dense_fwd(state, qpair_f, latents))
+            print(f"[13b] fit frac={frac}: compile+first {time.time() - t0:.0f}s",
+                  flush=True)
+            t0 = time.time()
+            float(dense_fwd(state, qpair_f, latents))
+            meas[frac] = time.time() - t0
+            print(f"[13b] fit frac={frac}: {meas[frac] * 1e3:.0f} ms/fwd",
+                  flush=True)
+            del qpair_f  # free HBM before the next fraction
+        f1, f2 = fracs
+        slope = (meas[f2] - meas[f1]) / (f2 - f1)
+        full_fit = meas[f2] + slope * (1.0 - f2)
+        print(json.dumps({
+            "model": "hunyuan-13B", "arm": "dense-denominator-fit",
+            "geometry": f"{args.frames}f@{args.height}p", "bits": args.bits,
+            "ms_at": {str(f): round(meas[f] * 1e3, 1) for f in fracs},
+            "per_depth_slope_ms": round(slope * 1e3, 1),
+            "full_ms_fit": round(full_fit * 1e3, 1),
+        }), flush=True)
+        return
+
     if args.depth_frac < 1.0:
-        def slice_tree(qt):
-            def visit(leaf):
-                if isinstance(leaf, QTensor):
-                    l2 = max(1, int(round(leaf.shape[0] * args.depth_frac)))
-                    return QTensor(q=leaf.q[:l2], scale=leaf.scale[:l2],
-                                   shape=(l2,) + tuple(leaf.shape[1:]),
-                                   dtype=leaf.dtype, bits=leaf.bits)
-                arr = np.asarray(leaf)
-                return arr[: max(1, int(round(arr.shape[0] * args.depth_frac)))]
-            return jax.tree.map(visit, qt,
-                                is_leaf=lambda x: isinstance(x, QTensor))
-        host_trees = [slice_tree(qt) for qt in host_trees]
+        host_trees = [slice_tree(qt, args.depth_frac) for qt in host_trees]
         print(f"[13b] depth_frac {args.depth_frac}: stacks sliced", flush=True)
     qtrees = [jax.tree.map(jnp.asarray, qt) for qt in host_trees]
     jax.block_until_ready(jax.tree.leaves(qtrees))
@@ -199,6 +266,76 @@ def main():
             "routed_ms": round(results["hard"] * 1e3, 1),
             "speedup": round(results["off"] / results["hard"], 3),
         }), flush=True)
+
+    if args.cache_threshold > 0.0:
+        # composed arm: routing (+ optional int8_static) + step cache on a
+        # real host-driven trajectory — one dispatch per step, under the
+        # tunnel's ~60 s kill (see tools/bench_wan14b.py for the protocol)
+        from vorta_tpu.ops.stepcache import init_step_cache
+        from vorta_tpu.schedulers.flow_match import FlowMatchEulerSchedule
+
+        schedule = FlowMatchEulerSchedule.create(args.steps,
+                                                 shift=args.flow_shift)
+        sigmas_t = np.asarray(schedule.sigmas)
+        timesteps = np.asarray(schedule.timesteps)
+        coeffs = (tuple(float(c) for c in
+                        np.load(args.cache_poly)["coefficients"])
+                  if args.cache_poly else None)
+        seq = grid[0] * grid[1] * grid[2]
+
+        @jax.jit
+        def step_fn(state, qpair, lat, t, c_in, force):
+            m = nnx.merge(graphdef, state)
+            out = m(lat.astype(jnp.bfloat16), t, text, mask, pooled,
+                    guidance=guidance, attn_cfg=attn, routing_mode="hard",
+                    quantized_blocks=qpair, mm_precision=mm,
+                    act_scales=act_scales, step_cache=c_in,
+                    cache_threshold=args.cache_threshold,
+                    cache_force_compute=force, cache_coefficients=coeffs)
+            return out.sample.astype(jnp.float32), out.step_cache
+
+        def fresh_cache():
+            return init_step_cache(b, seq, cfg.dim, cfg.dim, jnp.bfloat16)
+
+        lat = latents.astype(jnp.float32)
+        t0 = time.time()
+        v, c0 = step_fn(state, qpair, lat, jnp.full((b,), timesteps[0]),
+                        fresh_cache(), jnp.asarray(True))
+        jax.block_until_ready((v, c0))
+        print(f"[13b] cache arm: compile+first {time.time() - t0:.0f}s",
+              flush=True)
+
+        cache_c = fresh_cache()
+        times, skips = [], 0
+        for i in range(args.steps):
+            force = (i < 1) or (i == args.steps - 1)
+            t0 = time.time()
+            v, cache_c = step_fn(state, qpair, lat,
+                                 jnp.full((b,), timesteps[i]), cache_c,
+                                 jnp.asarray(force))
+            jax.block_until_ready((v, cache_c))
+            dt = time.time() - t0
+            skipped = bool(float(cache_c.acc) > 0.0)
+            skips += skipped
+            times.append(dt)
+            lat = lat + float(sigmas_t[i + 1] - sigmas_t[i]) * v
+            print(f"[13b] step {i}: {dt * 1e3:.0f} ms "
+                  f"{'SKIP' if skipped else 'compute'}", flush=True)
+        mean_ms = float(np.mean(times) * 1e3)
+        out = {
+            "model": "hunyuan-13B", "arm": "routed+cache",
+            "geometry": f"{args.frames}f@{args.height}p",
+            "bits": args.bits, "mm": args.mm,
+            "cache_threshold": args.cache_threshold,
+            "cache_poly": bool(coeffs),
+            "steps": args.steps, "skips": skips,
+            "composed_ms_per_step": round(mean_ms, 1),
+        }
+        if "off" in results:
+            out["full_ms"] = round(results["off"] * 1e3, 1)
+            out["composed_speedup"] = round(
+                results["off"] * 1e3 / mean_ms, 3)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

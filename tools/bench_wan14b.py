@@ -39,6 +39,17 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--cache", default="/tmp/wan14b_q.pkl",
                     help="pickle cache of the quantized stack (host prep ~20 min)")
+    ap.add_argument("--cache_threshold", type=float, default=0.0,
+                    help="composed arm: run a REAL host-driven denoise "
+                         "trajectory (one dispatch per step, so the ~60 s "
+                         "tunnel kill never triggers) with step-residual "
+                         "caching on top of routing (+ --mm int8_static); "
+                         "reports measured per-step ms and skip count")
+    ap.add_argument("--cache_poly", default=None,
+                    help="fitted TeaCache rescale npz (tools/fit_cache_poly)")
+    ap.add_argument("--steps", type=int, default=20,
+                    help="trajectory length for the --cache_threshold arm")
+    ap.add_argument("--flow_shift", type=float, default=5.0)
     args = ap.parse_args()
 
     import dataclasses
@@ -187,6 +198,75 @@ def main():
             "routed_ms": round(results["hard"] * 1e3, 1),
             "speedup": round(results["off"] / results["hard"], 3),
         }), flush=True)
+
+    if args.cache_threshold > 0.0:
+        # --- composed arm: routing (+ optional int8_static) + step cache on
+        # a real denoise trajectory.  Host-driven: ONE jitted step per
+        # dispatch (same compiled program for compute and skip steps via the
+        # traced lax.cond), so nothing hits the 60 s tunnel dispatch kill.
+        # The per-step wall times (device-synced) sum to the composed cost.
+        from vorta_tpu.ops.stepcache import init_step_cache
+        from vorta_tpu.schedulers.flow_match import FlowMatchEulerSchedule
+
+        schedule = FlowMatchEulerSchedule.create(args.steps, shift=args.flow_shift)
+        sigmas = np.asarray(schedule.sigmas)
+        timesteps = np.asarray(schedule.timesteps)
+        coeffs = (tuple(float(c) for c in np.load(args.cache_poly)["coefficients"])
+                  if args.cache_poly else None)
+        seq = grid[0] * grid[1] * grid[2]
+        ind_dim = 6 * cfg.dim
+
+        @jax.jit
+        def step_fn(state, qtree, lat, t, cache, force):
+            m = nnx.merge(graphdef, state)
+            out = m(lat.astype(jnp.bfloat16), t, context, attn_cfg=attn,
+                    routing_mode="hard", quantized_blocks=qtree,
+                    mm_precision=mm, act_scales=act_scales,
+                    step_cache=cache, cache_threshold=args.cache_threshold,
+                    cache_force_compute=force, cache_coefficients=coeffs)
+            return out.sample.astype(jnp.float32), out.step_cache
+
+        def fresh_cache():
+            return init_step_cache(b, seq, cfg.dim, ind_dim, jnp.bfloat16)
+
+        lat = latents.astype(jnp.float32)
+        t0 = time.time()
+        v, c0 = step_fn(state, qtree, lat, jnp.full((b,), timesteps[0]),
+                        fresh_cache(), jnp.asarray(True))
+        jax.block_until_ready((v, c0))
+        print(f"[14b] cache arm: compile+first {time.time() - t0:.0f}s", flush=True)
+
+        cache_c = fresh_cache()
+        times, skips = [], 0
+        for i in range(args.steps):
+            force = (i < 1) or (i == args.steps - 1)
+            t0 = time.time()
+            v, cache_c = step_fn(state, qtree, lat,
+                                 jnp.full((b,), timesteps[i]), cache_c,
+                                 jnp.asarray(force))
+            jax.block_until_ready((v, cache_c))
+            dt = time.time() - t0
+            # a computed step resets acc to 0; a skipped step carries acc > 0
+            skipped = bool(float(cache_c.acc) > 0.0)
+            skips += skipped
+            times.append(dt)
+            lat = lat + float(sigmas[i + 1] - sigmas[i]) * v
+            print(f"[14b] step {i}: {dt * 1e3:.0f} ms "
+                  f"{'SKIP' if skipped else 'compute'}", flush=True)
+        mean_ms = float(np.mean(times) * 1e3)
+        out = {
+            "model": "wan-14B", "arm": "routed+cache",
+            "geometry": f"{args.frames}f@{args.height}p",
+            "bits": args.bits, "mm": args.mm,
+            "cache_threshold": args.cache_threshold,
+            "cache_poly": bool(coeffs),
+            "steps": args.steps, "skips": skips,
+            "composed_ms_per_step": round(mean_ms, 1),
+        }
+        if "off" in results:
+            out["full_ms"] = round(results["off"] * 1e3, 1)
+            out["composed_speedup"] = round(results["off"] * 1e3 / mean_ms, 3)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,15 @@ def main():
     p.add_argument("--height", type=int, default=64)
     p.add_argument("--width", type=int, default=64)
     p.add_argument("--steps", type=int, default=12)
+    p.add_argument("--flow_shift", type=float, default=5.0,
+                   help="match the serving scheduler shift (cli/sample.py "
+                        "--flow_shift) so the probed trajectory's timestep "
+                        "spacing equals the served one")
+    p.add_argument("--guidance_scale", type=float, default=1.0,
+                   help="probe under CFG (>1): per-step cond+uncond forwards, "
+                        "CFG-combined velocity drives the trajectory; the "
+                        "cond arm's indicator/residual are recorded (serving "
+                        "caches are per-CFG-arm)")
     p.add_argument("--degree", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="results/cache_poly.npz")
@@ -78,7 +87,6 @@ def main():
         from vorta_tpu.training.step import router_partition
 
         _gd, router_state, frozen_state = router_partition(model)
-        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
         from bench import load_router_npz
 
         router_state = load_router_npz(router_state, args.router)
@@ -89,7 +97,7 @@ def main():
                              args.num_frames, args.height, args.width)
     pe = jax.random.normal(jax.random.PRNGKey(args.seed + 1),
                            (1, cfg.text_len, cfg.text_dim))
-    schedule = FlowMatchEulerSchedule.create(args.steps, shift=5.0)
+    schedule = FlowMatchEulerSchedule.create(args.steps, shift=args.flow_shift)
     sigmas = np.asarray(schedule.sigmas)
     timesteps = np.asarray(schedule.timesteps)
 
@@ -105,12 +113,27 @@ def main():
                 return_hidden_delta=True)
         return out.sample.astype(jnp.float32), out.hidden_delta, out.temb_indicator
 
+    @jax.jit
+    def fwd_uncond(state, lat, t):
+        m = nnx.merge(graphdef, state)
+        out = m(lat.astype(m.dtype), t, neg_pe, attn_cfg=attn,
+                routing_mode="hard", interpret=interpret)
+        return out.sample.astype(jnp.float32), None, None
+
+    neg_pe = jnp.zeros_like(pe)
     xs, ys = [], []
     prev_ind = prev_resid = None
     lat = x.astype(jnp.float32)
+    g = args.guidance_scale
     for i in range(args.steps):
         t = jnp.full((1,), timesteps[i])
         v, resid, ind = fwd(state, lat, t)
+        if g > 1.0:
+            # CFG trajectory: the uncond forward only steers the latents;
+            # the recorded (indicator, residual) stay the cond arm's, which
+            # is what the per-arm serving cache sees.
+            v_u, _, _ = fwd_uncond(state, lat, t)
+            v = v_u + g * (v - v_u)
         if prev_ind is not None:
             xs.append(float(rel_l1(ind, prev_ind)))
             ys.append(float(rel_l1(resid.astype(jnp.float32),

@@ -50,21 +50,43 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--out", default="assets/bench_router_wan1_3b.npz")
     ap.add_argument("--latent", type=int, nargs=3, default=(4, 12, 16))
+    ap.add_argument("--geom", default=None, choices=[None, "720p"],
+                    help="720p: train at the EXACT geometry bench.py serves "
+                         "(latent 20x45x80, tile [5,9,8], 72000 tokens) — "
+                         "the distill targets are geometry-dependent, so the "
+                         "served mix should come from the served geometry "
+                         "(VERDICT round-3 item 8). Forces --accum 1 "
+                         "(teacher+student at 72k tokens is HBM-bound)")
     args = ap.parse_args()
 
     interpret = jax.default_backend() != "tpu"
-    # training geometry: small grid, same tile/window family as 720p
-    attn = AttentionConfig(
-        latent_shape=tuple(args.latent),
-        sta_window=(3, 3, 3),
-        sta_tile=(2, 3, 8),  # tw=8: window-dense family
-        lowres_window=(2, 3, 2),
-        block_q=512,
-        block_kv=512,
-        sta_block_q=48,
-        sta_block_kv=48,
-        tau_sparse=0.3,
-    )
+    if args.geom == "720p":
+        args.latent = (20, 45, 80)
+        args.accum = 1
+        if args.out == "assets/bench_router_wan1_3b.npz":
+            args.out = "assets/bench_router_wan1_3b_720p.npz"
+        attn = AttentionConfig(
+            latent_shape=(20, 45, 80),
+            sta_window=(3, 3, 3),
+            sta_tile=(5, 9, 8),
+            lowres_window=(2, 3, 2),
+            block_q=1024,
+            block_kv=1024,
+            tau_sparse=0.3,
+        )
+    else:
+        # training geometry: small grid, same tile/window family as 720p
+        attn = AttentionConfig(
+            latent_shape=tuple(args.latent),
+            sta_window=(3, 3, 3),
+            sta_tile=(2, 3, 8),  # tw=8: window-dense family
+            lowres_window=(2, 3, 2),
+            block_q=512,
+            block_kv=512,
+            sta_block_q=48,
+            sta_block_kv=48,
+            tau_sparse=0.3,
+        )
     model = WanModel(WAN_1_3B, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
                      rngs=nnx.Rngs(0))
     graphdef, router_state, frozen_state = router_partition(model)

@@ -99,6 +99,80 @@ def lpips(a: np.ndarray, b: np.ndarray, weights_path: Optional[str] = None) -> O
         return float(net(ta, tb).mean())
 
 
+def temporal_flicker(x: np.ndarray) -> float:
+    """Mean absolute frame-to-frame difference, normalized by the signal's
+    mean absolute value — a weight-free proxy for temporal flicker.
+
+    Accepts latents (B, T, H, W, C) or frames (T, H, W, C); the time axis is
+    the one after an optional leading batch axis.  Lower = smoother.  Step
+    caching and aggressive routing both tend to RAISE this (replayed
+    residuals freeze, then jump), so it discriminates between speed knobs in
+    a way PSNR-to-baseline alone does not."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == 5:
+        x = x[0]
+    d = np.abs(np.diff(x, axis=0)).mean()
+    return float(d / (np.abs(x).mean() + 1e-12))
+
+
+def temporal_consistency(a: np.ndarray, b: np.ndarray) -> float:
+    """Correlation of the two videos' frame-difference energy profiles.
+
+    Computes per-step frame-difference energy e_t = mean|x_{t+1} - x_t| for
+    each video and returns their Pearson correlation: 1.0 means the routed/
+    cached sample moves exactly when the baseline moves (motion structure
+    preserved) even if pixel values drift; low values mean motion was
+    redistributed (e.g. frozen-then-jump cache artifacts)."""
+    def profile(x):
+        x = np.asarray(x, np.float64)
+        if x.ndim == 5:
+            x = x[0]
+        return np.abs(np.diff(x, axis=0)).mean(axis=tuple(range(1, x.ndim)))
+
+    pa, pb = profile(a), profile(b)
+    if pa.size < 2:
+        return 1.0
+    sa, sb = pa.std(), pb.std()
+    if sa < 1e-12 or sb < 1e-12:
+        return 1.0 if sa < 1e-12 and sb < 1e-12 else 0.0
+    return float(np.corrcoef(pa, pb)[0, 1])
+
+
+def highfreq_energy_ratio(a: np.ndarray, b: np.ndarray) -> float:
+    """Ratio of high-spatial-frequency energy, sample ``a`` over baseline
+    ``b`` (1.0 = detail preserved, <1 = blurred, >1 = noise/ringing added).
+
+    High band = the outer half of the 2-D DFT radius per frame.  Weight-free
+    stand-in for the detail axis of perceptual metrics: lowres-expert
+    over-routing and cache replay both blur, which PSNR under-penalizes."""
+    def hf(x):
+        x = np.asarray(x, np.float64)
+        if x.ndim == 5:
+            x = x[0]
+        if x.ndim == 4:  # (T, H, W, C) -> fold C into T
+            x = np.moveaxis(x, -1, 1).reshape(-1, x.shape[1], x.shape[2])
+        f = np.fft.fftshift(np.fft.fft2(x, axes=(-2, -1)), axes=(-2, -1))
+        h, w = x.shape[-2:]
+        yy, xx = np.mgrid[:h, :w]
+        r = np.hypot((yy - h / 2) / (h / 2), (xx - w / 2) / (w / 2))
+        band = r >= 0.5
+        return float((np.abs(f) ** 2)[..., band].sum())
+
+    return float(hf(a) / max(hf(b), 1e-12))
+
+
+def weightfree_video_metrics(sample: np.ndarray,
+                             baseline: np.ndarray) -> Dict[str, float]:
+    """The weight-free trio reported alongside PSNR/SSIM by the comparison
+    CLI (LPIPS/VBench need pretrained nets unavailable offline)."""
+    return {
+        "flicker_sample": round(temporal_flicker(sample), 4),
+        "flicker_baseline": round(temporal_flicker(baseline), 4),
+        "temporal_consistency": round(temporal_consistency(sample, baseline), 4),
+        "highfreq_energy_ratio": round(highfreq_energy_ratio(sample, baseline), 4),
+    }
+
+
 def routing_mix(scores: np.ndarray, tau: float) -> Dict[str, float]:
     """Expert usage fractions from per-step routing scores.
 

@@ -332,6 +332,91 @@ def hunyuan_state_dict_to_tree(sd: Dict[str, np.ndarray], dual_layers: int,
     return tree
 
 
+def hunyuan_expected_keys(dual_layers: int, single_layers: int,
+                          refiner_layers: int, guidance: bool = True,
+                          routers: bool = False) -> set:
+    """The exact diffusers HunyuanVideoTransformer3DModel state-dict key set
+    this importer consumes.
+
+    Pinned against the sharded-checkpoint *index* format
+    (``diffusion_pytorch_model.safetensors.index.json`` -> ``weight_map``
+    keys) so a real checkpoint can be validated key-for-key BEFORE import —
+    see validate_hunyuan_checkpoint_keys.  Reference model surface:
+    /root/reference/vorta/patch/modeling_hunyuan.py:621-645 (embedder) and
+    the diffusers class it patches."""
+    keys = set()
+
+    def lin(prefix):
+        keys.add(f"{prefix}.weight")
+        keys.add(f"{prefix}.bias")
+
+    lin("x_embedder.proj")
+    for e in ("timestep_embedder", "text_embedder") + (
+            ("guidance_embedder",) if guidance else ()):
+        lin(f"time_text_embed.{e}.linear_1")
+        lin(f"time_text_embed.{e}.linear_2")
+    lin("context_embedder.proj_in")
+    lin("context_embedder.time_text_embed.timestep_embedder.linear_1")
+    lin("context_embedder.time_text_embed.timestep_embedder.linear_2")
+    lin("context_embedder.time_text_embed.text_embedder.linear_1")
+    lin("context_embedder.time_text_embed.text_embedder.linear_2")
+    for i in range(refiner_layers):
+        p = f"context_embedder.token_refiner.refiner_blocks.{i}"
+        lin(f"{p}.norm1")
+        lin(f"{p}.norm2")
+        for a in ("to_q", "to_k", "to_v"):
+            lin(f"{p}.attn.{a}")
+        lin(f"{p}.attn.to_out.0")
+        lin(f"{p}.ff.net.0.proj")
+        lin(f"{p}.ff.net.2")
+        lin(f"{p}.norm_out.linear")
+    for i in range(dual_layers):
+        p = f"transformer_blocks.{i}"
+        lin(f"{p}.norm1.linear")
+        lin(f"{p}.norm1_context.linear")
+        for a in ("to_q", "to_k", "to_v", "add_q_proj", "add_k_proj",
+                  "add_v_proj", "to_add_out"):
+            lin(f"{p}.attn.{a}")
+        lin(f"{p}.attn.to_out.0")
+        for n in ("norm_q", "norm_k", "norm_added_q", "norm_added_k"):
+            keys.add(f"{p}.attn.{n}.weight")
+        lin(f"{p}.ff.net.0.proj")
+        lin(f"{p}.ff.net.2")
+        lin(f"{p}.ff_context.net.0.proj")
+        lin(f"{p}.ff_context.net.2")
+        if routers:
+            lin(f"{p}.router.linear")
+    for i in range(single_layers):
+        p = f"single_transformer_blocks.{i}"
+        lin(f"{p}.norm.linear")
+        for a in ("to_q", "to_k", "to_v"):
+            lin(f"{p}.attn.{a}")
+        keys.add(f"{p}.attn.norm_q.weight")
+        keys.add(f"{p}.attn.norm_k.weight")
+        lin(f"{p}.proj_mlp")
+        lin(f"{p}.proj_out")
+        if routers:
+            lin(f"{p}.router.linear")
+    lin("norm_out.linear")
+    lin("proj_out")
+    return keys
+
+
+def validate_hunyuan_checkpoint_keys(keys, dual_layers: int,
+                                     single_layers: int, refiner_layers: int):
+    """Compare a checkpoint's key set (a state dict's keys, or the
+    ``weight_map`` keys of a diffusers ``*.index.json``) against what the
+    importer expects.  Returns (missing, unexpected) sorted lists — both
+    empty for a conforming HunyuanVideo checkpoint."""
+    keys = set(keys)
+    guidance = any("guidance_embedder" in k for k in keys)
+    routers = any(".router." in k for k in keys)
+    expected = hunyuan_expected_keys(dual_layers, single_layers,
+                                     refiner_layers, guidance=guidance,
+                                     routers=routers)
+    return sorted(expected - keys), sorted(keys - expected)
+
+
 def load_hunyuan_torch_weights(model, path):
     """Import diffusers HunyuanVideo weights into models.hunyuan.HunyuanModel."""
     cfg = model.cfg

@@ -14,10 +14,13 @@ attention over the joint sequence via ops/joint_experts (per-prompt text
 padding rides an additive kv-bias), teacher distillation streams in the scan
 carries.
 
-NOTE on fidelity: built to the diffusers architecture as documented/observed;
-the token-refiner internals (mlp activation, gate layout) follow diffusers
-semantics from the reference's call signatures (modeling_hunyuan.py:621-645)
-and should be re-verified against real checkpoints when importable.
+NOTE on fidelity: the token-refiner forward is pinned against an independent
+torch oracle built on torch.nn.MultiheadAttention (masked pooling, sinusoid
+convention, attention, tanh-gelu FFN, padding-mask semantics —
+tests/test_real_transformers_parity.py), and the full diffusers checkpoint
+key layout is validated by io/torch_import.validate_hunyuan_checkpoint_keys;
+only the gate CHUNK ORDER (attn, mlp) remains pinned to our own reading of
+diffusers (modeling_hunyuan.py:621-645) pending real weights.
 """
 
 from __future__ import annotations
@@ -688,7 +691,7 @@ class HunyuanModel(nnx.Module):
                         jnp.square(xt.astype(jnp.float32) - x.astype(jnp.float32))
                     )
                 if scores is None:
-                    scores = jnp.zeros((b, cfg.num_heads, 3), jnp.float32)
+                    scores = jnp.zeros((b, cfg.num_heads, attn_cfg.num_experts), jnp.float32)
                 return (x, ctx, xt, ct, reg, hid), (scores, calib_sink)
 
             if remat_blocks:
@@ -750,7 +753,9 @@ class HunyuanModel(nnx.Module):
 
             def skip_branch(cache):
                 xo = x_in + cache.residual.astype(x_in.dtype)
-                scores = jnp.zeros((n_layers, b, cfg.num_heads, 3), jnp.float32)
+                scores = jnp.zeros(
+                    (n_layers, b, cfg.num_heads, attn_cfg.num_experts), jnp.float32
+                )
                 return xo, scores, StepCache(
                     prev_ind=ind, residual=cache.residual, acc=acc_skip,
                     valid=cache.valid,

@@ -55,7 +55,17 @@ def init_step_cache(batch: int, seq: int, dim: int, ind_dim: int,
 
 
 def rel_l1(cur: jax.Array, prev: jax.Array, eps: float = 1e-8) -> jax.Array:
-    """Mean relative L1 distance between two indicator tensors -> () f32."""
+    """Mean relative L1 distance between two indicator tensors -> () f32.
+
+    The reduction spans the whole batch: one scalar decision covers every
+    sample (and, under ``cfg_batch``, both CFG arms — their indicators are
+    averaged into one distance).  This is intentional: the skip is a scalar
+    ``lax.cond`` so the compute is actually elided; a per-sample decision
+    would need a masked ``where``-style replay that still runs the blocks.
+    Serving batches are B=1 per arm here (matching the reference's batch-1
+    assert, hunyuan.py:168); for multi-sample batched serving the blended
+    decision is a conservative average, not per-sample optimal.
+    """
     cur = cur.astype(jnp.float32)
     prev = prev.astype(jnp.float32)
     return jnp.mean(jnp.abs(cur - prev)) / (jnp.mean(jnp.abs(prev)) + eps)
@@ -86,7 +96,12 @@ def cache_decision(
     compute.  When the caller runs the blocks it must reset ``acc`` to 0;
     when it skips it carries ``acc_if_skipped``.
     """
-    d = rescale(rel_l1(indicator, cache.prev_ind), coefficients)
+    # Clamp at zero: an unconstrained fitted polynomial (np.polyfit) can go
+    # negative for some indicator distances, which would let acc decrease and
+    # skips continue indefinitely between forced steps.  Accumulation is
+    # monotone by intent.
+    d = jnp.maximum(rescale(rel_l1(indicator, cache.prev_ind), coefficients),
+                    jnp.float32(0.0))
     acc = cache.acc + d
     skip = cache.valid & (acc < jnp.float32(threshold))
     if force_compute is not None:

@@ -57,6 +57,7 @@ class HunyuanT2VPipeline:
         mesh=None,
         vae=None,
         act_scales: Optional[dict] = None,
+        quantized_blocks=None,
     ):
         self.model = model
         self.attn_cfg = attn_cfg
@@ -66,6 +67,10 @@ class HunyuanT2VPipeline:
         # {site: (L,) static activation scales} for mm_precision="int8"
         # (ops/qmm.py; produced by tools/calibrate_int8.py)
         self.act_scales = act_scales
+        # (dual, single) stacked int4/int8 block weights for over-HBM serving
+        # (ops/quant; cli/sample.py --quantize_blocks) — the model is then a
+        # depth-1 placeholder supplying non-block modules
+        self.quantized_blocks = quantized_blocks
         self._loop_cache = {}
 
     def prepare_latents(self, key, batch: int, frames: int, height: int, width: int):
@@ -88,7 +93,8 @@ class HunyuanT2VPipeline:
             ), False
         raise ValueError(f"unknown scheduler {sampling.scheduler!r}")
 
-    def _build_loop(self, sampling: HunyuanSamplingConfig):
+    def _build_step_parts(self, sampling: HunyuanSamplingConfig):
+        """Shared single-step denoise body (see wan_t2v._build_step_parts)."""
         from ..schedulers.unipc import unipc_sample_step
 
         schedule, use_unipc = self._make_schedule(sampling)
@@ -105,16 +111,13 @@ class HunyuanT2VPipeline:
         use_cache = cache_threshold > 0.0
         cache_warmup = int(sampling.cache_warmup)
         cache_coefficients = sampling.cache_coefficients
+        qblocks = self.quantized_blocks
+        n_steps = schedule.num_steps
+        cfg = self.model.cfg
 
-        @nnx.jit
-        def run(model: HunyuanModel, latents, text, mask, pooled, neg_text, neg_pooled):
-            sigmas = jnp.asarray(schedule.sigmas)
-            timesteps = jnp.asarray(schedule.timesteps)
-            n_steps = schedule.num_steps
-
-            cfg = model.cfg
-            pt, ph, pw = cfg.patch_size
+        def init_carry(latents):
             b0, t_px, h_px, w_px, _ = latents.shape
+            pt, ph, pw = cfg.patch_size
             seq = (t_px // pt) * (h_px // ph) * (w_px // pw)
 
             def init_caches():
@@ -123,84 +126,145 @@ class HunyuanT2VPipeline:
                 from ..ops.stepcache import init_step_cache
 
                 mk = lambda nb: init_step_cache(nb, seq, cfg.dim, cfg.dim,
-                                                model.dtype)
+                                                self.model.dtype)
                 if cfg_batch:
                     return (mk(2 * b0),)
                 if do_cfg:
                     return (mk(b0), mk(b0))
                 return (mk(b0),)
 
+            x0 = latents.astype(jnp.float32)
+            return (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0,
+                    init_caches())
+
+        def denoise_step(model, carry, i, text, mask, pooled, neg_text,
+                         neg_pooled):
+            sigmas = jnp.asarray(schedule.sigmas)
+            timesteps = jnp.asarray(schedule.timesteps)
+            x, m_prev, m_prev2, x_prev, caches = carry
+            b = x.shape[0]
+            t = jnp.full((b,), timesteps[i])
+            guidance = jnp.full((b,), guidance_value)
+            force = (i < cache_warmup) | (i == n_steps - 1)
+            ckw = dict(cache_threshold=cache_threshold,
+                       cache_force_compute=force,
+                       cache_coefficients=cache_coefficients) if use_cache else {}
+            new_caches = ()
+            if cfg_batch:
+                out = model(
+                    jnp.concatenate([x, x]).astype(model.dtype),
+                    jnp.concatenate([t, t]),
+                    jnp.concatenate([text, neg_text]),
+                    jnp.concatenate([mask, mask]),
+                    jnp.concatenate([pooled, neg_pooled]),
+                    guidance=jnp.concatenate([guidance, guidance]),
+                    attn_cfg=attn_cfg, routing_mode=routing_mode,
+                    interpret=interpret,
+                    mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qblocks,
+                    step_cache=caches[0] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = (out.step_cache,)
+                vc = out.sample[:b].astype(jnp.float32)
+                vu = out.sample[b:].astype(jnp.float32)
+                v = vu + cfg_scale * (vc - vu)
+            else:
+                out = model(
+                    x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
+                    attn_cfg=attn_cfg, routing_mode=routing_mode, interpret=interpret,
+                    mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qblocks,
+                    step_cache=caches[0] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = (out.step_cache,)
+                v = out.sample.astype(jnp.float32)
+            if do_cfg and not cfg_batch:
+                out_u = model(
+                    x.astype(model.dtype), t, neg_text, mask, neg_pooled,
+                    guidance=guidance, attn_cfg=attn_cfg,
+                    routing_mode=routing_mode, interpret=interpret,
+                    mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qblocks,
+                    step_cache=caches[1] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = new_caches + (out_u.step_cache,)
+                vu = out_u.sample.astype(jnp.float32)
+                v = vu + cfg_scale * (v - vu)
+            if use_unipc:
+                x_next, m_i, x_hist = unipc_sample_step(
+                    x, v, i, sigmas, m_prev, x_prev, n_steps,
+                    m_prev2=m_prev2,
+                )
+            else:
+                x_next = x + (sigmas[i + 1] - sigmas[i]) * v
+                m_i, x_hist = m_prev, x_prev
+            return (x_next, m_i, m_prev, x_hist, new_caches), jnp.zeros((), jnp.float32)
+
+        return denoise_step, init_carry, n_steps, dict(locals())
+
+    def make_stepper(self, sampling: HunyuanSamplingConfig):
+        """Host-driven serving loop (see WanT2VPipeline.make_stepper)."""
+        denoise_step, init_carry, n_steps, _env = self._build_step_parts(sampling)
+        model = self.model
+
+        @nnx.jit
+        def step_once(model: HunyuanModel, carry, i, text, mask, pooled,
+                      neg_text, neg_pooled):
+            return denoise_step(model, carry, i, text, mask, pooled,
+                                neg_text, neg_pooled)
+
+        def step_fn(carry, i, text, mask, pooled, neg_text=None,
+                    neg_pooled=None):
+            if neg_text is None:
+                neg_text = jnp.zeros_like(text)
+            if neg_pooled is None:
+                neg_pooled = jnp.zeros_like(pooled)
+            return step_once(model, carry, jnp.asarray(i, jnp.int32), text,
+                             mask, pooled, neg_text, neg_pooled)
+
+        return init_carry, step_fn, n_steps
+
+    def _build_loop(self, sampling: HunyuanSamplingConfig):
+        denoise_step, init_carry, n_steps, _env = self._build_step_parts(sampling)
+
+        @nnx.jit
+        def run(model: HunyuanModel, latents, text, mask, pooled, neg_text, neg_pooled):
             @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
             def step(model: HunyuanModel, carry, i):
-                x, m_prev, m_prev2, x_prev, caches = carry
-                b = x.shape[0]
-                t = jnp.full((b,), timesteps[i])
-                guidance = jnp.full((b,), guidance_value)
-                force = (i < cache_warmup) | (i == n_steps - 1)
-                ckw = dict(cache_threshold=cache_threshold,
-                           cache_force_compute=force,
-                           cache_coefficients=cache_coefficients) if use_cache else {}
-                new_caches = ()
-                if cfg_batch:
-                    out = model(
-                        jnp.concatenate([x, x]).astype(model.dtype),
-                        jnp.concatenate([t, t]),
-                        jnp.concatenate([text, neg_text]),
-                        jnp.concatenate([mask, mask]),
-                        jnp.concatenate([pooled, neg_pooled]),
-                        guidance=jnp.concatenate([guidance, guidance]),
-                        attn_cfg=attn_cfg, routing_mode=routing_mode,
-                        interpret=interpret,
-                        mm_precision=mm, act_scales=act_scales,
-                        step_cache=caches[0] if use_cache else None, **ckw,
-                    )
-                    if use_cache:
-                        new_caches = (out.step_cache,)
-                    vc = out.sample[:b].astype(jnp.float32)
-                    vu = out.sample[b:].astype(jnp.float32)
-                    v = vu + cfg_scale * (vc - vu)
-                else:
-                    out = model(
-                        x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
-                        attn_cfg=attn_cfg, routing_mode=routing_mode, interpret=interpret,
-                        mm_precision=mm, act_scales=act_scales,
-                        step_cache=caches[0] if use_cache else None, **ckw,
-                    )
-                    if use_cache:
-                        new_caches = (out.step_cache,)
-                    v = out.sample.astype(jnp.float32)
-                if do_cfg and not cfg_batch:
-                    out_u = model(
-                        x.astype(model.dtype), t, neg_text, mask, neg_pooled,
-                        guidance=guidance, attn_cfg=attn_cfg,
-                        routing_mode=routing_mode, interpret=interpret,
-                        mm_precision=mm, act_scales=act_scales,
-                        step_cache=caches[1] if use_cache else None, **ckw,
-                    )
-                    if use_cache:
-                        new_caches = new_caches + (out_u.step_cache,)
-                    vu = out_u.sample.astype(jnp.float32)
-                    v = vu + cfg_scale * (v - vu)
-                if use_unipc:
-                    x_next, m_i, x_hist = unipc_sample_step(
-                        x, v, i, sigmas, m_prev, x_prev, n_steps,
-                        m_prev2=m_prev2,
-                    )
-                else:
-                    x_next = x + (sigmas[i + 1] - sigmas[i]) * v
-                    m_i, x_hist = m_prev, x_prev
-                return (x_next, m_i, m_prev, x_hist, new_caches), jnp.zeros((), jnp.float32)
+                return denoise_step(model, carry, i, text, mask, pooled,
+                                    neg_text, neg_pooled)
 
-            x0 = latents.astype(jnp.float32)
             (x, _, _, _, _), _ = step(
-                model,
-                (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0, init_caches()),
-                jnp.arange(n_steps),
+                model, init_carry(latents), jnp.arange(n_steps)
             )
             return x
 
         if self.mesh is None:
             return run
+
+        # --- SP path: re-bind the sampling-derived locals computed by
+        # _build_step_parts (the shard_map'd velocity_fn below closes over
+        # them directly rather than through denoise_step)
+        schedule = _env["schedule"]
+        use_unipc = _env["use_unipc"]
+        attn_cfg = _env["attn_cfg"]
+        interpret = _env["interpret"]
+        do_cfg = _env["do_cfg"]
+        cfg_batch = _env["cfg_batch"]
+        routing_mode = _env["routing_mode"]
+        mm = _env["mm"]
+        act_scales = _env["act_scales"]
+        cache_threshold = _env["cache_threshold"]
+        use_cache = _env["use_cache"]
+        cache_warmup = _env["cache_warmup"]
+        cache_coefficients = _env["cache_coefficients"]
+        qblocks = _env["qblocks"]
+        guidance_value = _env["guidance_value"]
+        cfg_scale = _env["cfg_scale"]
+        from ..schedulers.unipc import unipc_sample_step
 
         # --- sequence-parallel loop: shard_map'd model step inside the scan
         from jax import shard_map
@@ -210,7 +274,7 @@ class HunyuanT2VPipeline:
         graphdef, _ = nnx.split(self.model)
 
         def velocity_fn(state, x, text, mask, pooled, neg_text, neg_pooled, t,
-                        caches, force):
+                        caches, force, qb):
             model = nnx.merge(graphdef, state)
             b = x.shape[0]
             guidance = jnp.full((b,), guidance_value)
@@ -222,6 +286,7 @@ class HunyuanT2VPipeline:
                 x.astype(model.dtype), t, text, mask, pooled, guidance=guidance,
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
                 interpret=interpret, sp_axis="sp", mm_precision=mm, act_scales=act_scales,
+                quantized_blocks=qb,
                 step_cache=caches[0] if use_cache else None, **ckw,
             )
             if use_cache:
@@ -233,6 +298,7 @@ class HunyuanT2VPipeline:
                     guidance=guidance, attn_cfg=attn_cfg,
                     routing_mode=routing_mode, interpret=interpret, sp_axis="sp",
                     mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qb,
                     step_cache=caches[1] if use_cache else None, **ckw,
                 )
                 if use_cache:
@@ -247,10 +313,11 @@ class HunyuanT2VPipeline:
         n_arms = (1 if not do_cfg else 2) if use_cache else 0
         cache_specs = (cache_spec,) * n_arms
 
+        qb_specs = jax.tree.map(lambda _: P(), qblocks) if qblocks is not None else None
         smapped = shard_map(
             velocity_fn, mesh=mesh,
             in_specs=(P(), P(None, "sp"), P(), P(), P(), P(), P(), P(),
-                      cache_specs, P()),
+                      cache_specs, P(), qb_specs),
             out_specs=(P(None, "sp"), cache_specs),
             check_vma=False,
         )
@@ -287,7 +354,7 @@ class HunyuanT2VPipeline:
                     force = (i < cache_warmup) | (i == n_steps - 1)
                     v, new_caches = smapped(
                         state, x, text, mask, pooled, neg_text, neg_pooled, t,
-                        caches, force,
+                        caches, force, qblocks,
                     )
                     if use_unipc:
                         x_next, m_i, x_hist = unipc_sample_step(

@@ -66,6 +66,7 @@ class WanT2VPipeline:
         interpret: bool = False,
         mesh=None,
         act_scales: Optional[dict] = None,
+        quantized_blocks=None,
     ):
         self.model = model
         self.attn_cfg = attn_cfg
@@ -74,6 +75,12 @@ class WanT2VPipeline:
         # {site: (L,) static activation scales} for mm_precision="int8"
         # (ops/qmm.py; produced by tools/calibrate_int8.py)
         self.act_scales = act_scales
+        # stacked int4/int8 block weights (ops/quant.quantize_stacked_tree):
+        # serving path for models that exceed one chip's HBM (Wan-14B); the
+        # model is then a depth-1 placeholder supplying the non-block modules
+        # (see cli/sample.py --quantize_blocks).  Replaces the reference's
+        # model CPU offload (scripts/wan/inference.py:156-162).
+        self.quantized_blocks = quantized_blocks
         self._loop_cache = {}
 
     def prepare_latents(self, key: jax.Array, batch: int, frames: int, height: int, width: int):
@@ -83,7 +90,9 @@ class WanT2VPipeline:
         shape = (batch, t, height // 8, width // 8, cfg.in_channels)
         return jax.random.normal(key, shape, jnp.float32)
 
-    def _build_loop(self, sampling: SamplingConfig, has_image: bool = False):
+    def _build_step_parts(self, sampling: SamplingConfig):
+        """Shared single-step denoise body: used by the jit'd scan loop and
+        by the host-driven stepper (make_stepper)."""
         from ..schedulers.unipc import UniPCSchedule, unipc_sample_step
 
         if sampling.scheduler == "unipc":
@@ -110,17 +119,13 @@ class WanT2VPipeline:
         use_cache = cache_threshold > 0.0
         cache_warmup = int(sampling.cache_warmup)
         cache_coefficients = sampling.cache_coefficients
+        qblocks = self.quantized_blocks
+        n_steps = schedule.num_steps
+        cfg = self.model.cfg
 
-        @nnx.jit
-        def run(model: WanModel, latents, prompt_embeds, negative_prompt_embeds,
-                image_embeds):
-            sigmas = jnp.asarray(schedule.sigmas)
-            timesteps = jnp.asarray(schedule.timesteps)
-            n_steps = schedule.num_steps
-
-            cfg = model.cfg
-            pt, ph, pw = cfg.patch_size
+        def init_carry(latents):
             b0, t_px, h_px, w_px, _ = latents.shape
+            pt, ph, pw = cfg.patch_size
             seq = (t_px // pt) * (h_px // ph) * (w_px // pw)
             ind_dim = 6 * cfg.dim
 
@@ -131,102 +136,167 @@ class WanT2VPipeline:
                     return ()
                 from ..ops.stepcache import init_step_cache
 
+                dt = self.model.dtype
                 if cfg_batch:
-                    return (init_step_cache(2 * b0, seq, cfg.dim, ind_dim,
-                                            model.dtype),)
+                    return (init_step_cache(2 * b0, seq, cfg.dim, ind_dim, dt),)
                 if do_cfg:
-                    return (init_step_cache(b0, seq, cfg.dim, ind_dim, model.dtype),
-                            init_step_cache(b0, seq, cfg.dim, ind_dim, model.dtype))
-                return (init_step_cache(b0, seq, cfg.dim, ind_dim, model.dtype),)
-
-            @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
-            def step(model: WanModel, carry, i):
-                x, m_prev, m_prev2, x_prev, caches = carry
-                t = jnp.full((x.shape[0],), timesteps[i])
-                force = (i < cache_warmup) | (i == n_steps - 1)
-                ckw = dict(cache_threshold=cache_threshold,
-                           cache_force_compute=force,
-                           cache_coefficients=cache_coefficients) if use_cache else {}
-                new_caches = ()
-                if cfg_batch:
-                    # one batch-2B forward: [cond | uncond]
-                    out = model(
-                        jnp.concatenate([x, x]).astype(model.dtype),
-                        jnp.concatenate([t, t]),
-                        jnp.concatenate([prompt_embeds, negative_prompt_embeds]),
-                        attn_cfg=attn_cfg,
-                        routing_mode=routing_mode,
-                        return_scores=return_scores,
-                        image_context=(
-                            jnp.concatenate([image_embeds, image_embeds])
-                            if image_embeds is not None else None
-                        ),
-                        interpret=interpret,
-                        mm_precision=mm, act_scales=act_scales,
-                        step_cache=caches[0] if use_cache else None, **ckw,
-                    )
-                    if use_cache:
-                        new_caches = (out.step_cache,)
-                    bb = x.shape[0]
-                    vc = out.sample[:bb].astype(jnp.float32)
-                    vu = out.sample[bb:].astype(jnp.float32)
-                    velocity = vu + guidance_scale * (vc - vu)
-                else:
-                    out = model(
-                        x.astype(model.dtype),
-                        t,
-                        prompt_embeds,
-                        attn_cfg=attn_cfg,
-                        routing_mode=routing_mode,
-                        return_scores=return_scores,
-                        image_context=image_embeds,
-                        interpret=interpret,
-                        mm_precision=mm, act_scales=act_scales,
-                        step_cache=caches[0] if use_cache else None, **ckw,
-                    )
-                    if use_cache:
-                        new_caches = (out.step_cache,)
-                    velocity = out.sample.astype(jnp.float32)
-                if do_cfg and not cfg_batch:
-                    # image conditioning stays on for the uncond pass
-                    # (reference I2V: encoder image tokens are not dropped
-                    # for CFG — vorta/attention/wan.py:119-139)
-                    out_u = model(
-                        x.astype(model.dtype),
-                        t,
-                        negative_prompt_embeds,
-                        attn_cfg=attn_cfg,
-                        routing_mode=routing_mode,
-                        image_context=image_embeds,
-                        interpret=interpret,
-                        mm_precision=mm, act_scales=act_scales,
-                        step_cache=caches[1] if use_cache else None, **ckw,
-                    )
-                    if use_cache:
-                        new_caches = new_caches + (out_u.step_cache,)
-                    vu = out_u.sample.astype(jnp.float32)
-                    velocity = vu + guidance_scale * (velocity - vu)
-                if use_unipc:
-                    x_next, m_i, x_hist = unipc_sample_step(
-                        x, velocity, i, sigmas, m_prev, x_prev, n_steps,
-                        m_prev2=m_prev2,
-                    )
-                else:
-                    x_next = x + (sigmas[i + 1] - sigmas[i]) * velocity
-                    m_i, x_hist = m_prev, x_prev
-                scores = out.routing_scores if return_scores else jnp.zeros((), jnp.float32)
-                return (x_next, m_i, m_prev, x_hist, new_caches), scores
+                    return (init_step_cache(b0, seq, cfg.dim, ind_dim, dt),
+                            init_step_cache(b0, seq, cfg.dim, ind_dim, dt))
+                return (init_step_cache(b0, seq, cfg.dim, ind_dim, dt),)
 
             x0 = latents.astype(jnp.float32)
+            return (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0,
+                    init_caches())
+
+        def denoise_step(model, carry, i, prompt_embeds,
+                         negative_prompt_embeds, image_embeds):
+            sigmas = jnp.asarray(schedule.sigmas)
+            timesteps = jnp.asarray(schedule.timesteps)
+            x, m_prev, m_prev2, x_prev, caches = carry
+            t = jnp.full((x.shape[0],), timesteps[i])
+            force = (i < cache_warmup) | (i == n_steps - 1)
+            ckw = dict(cache_threshold=cache_threshold,
+                       cache_force_compute=force,
+                       cache_coefficients=cache_coefficients) if use_cache else {}
+            new_caches = ()
+            if cfg_batch:
+                # one batch-2B forward: [cond | uncond]
+                out = model(
+                    jnp.concatenate([x, x]).astype(model.dtype),
+                    jnp.concatenate([t, t]),
+                    jnp.concatenate([prompt_embeds, negative_prompt_embeds]),
+                    attn_cfg=attn_cfg,
+                    routing_mode=routing_mode,
+                    return_scores=return_scores,
+                    image_context=(
+                        jnp.concatenate([image_embeds, image_embeds])
+                        if image_embeds is not None else None
+                    ),
+                    interpret=interpret,
+                    mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qblocks,
+                    step_cache=caches[0] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = (out.step_cache,)
+                bb = x.shape[0]
+                vc = out.sample[:bb].astype(jnp.float32)
+                vu = out.sample[bb:].astype(jnp.float32)
+                velocity = vu + guidance_scale * (vc - vu)
+            else:
+                out = model(
+                    x.astype(model.dtype),
+                    t,
+                    prompt_embeds,
+                    attn_cfg=attn_cfg,
+                    routing_mode=routing_mode,
+                    return_scores=return_scores,
+                    image_context=image_embeds,
+                    interpret=interpret,
+                    mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qblocks,
+                    step_cache=caches[0] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = (out.step_cache,)
+                velocity = out.sample.astype(jnp.float32)
+            if do_cfg and not cfg_batch:
+                # image conditioning stays on for the uncond pass
+                # (reference I2V: encoder image tokens are not dropped
+                # for CFG — vorta/attention/wan.py:119-139)
+                out_u = model(
+                    x.astype(model.dtype),
+                    t,
+                    negative_prompt_embeds,
+                    attn_cfg=attn_cfg,
+                    routing_mode=routing_mode,
+                    image_context=image_embeds,
+                    interpret=interpret,
+                    mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qblocks,
+                    step_cache=caches[1] if use_cache else None, **ckw,
+                )
+                if use_cache:
+                    new_caches = new_caches + (out_u.step_cache,)
+                vu = out_u.sample.astype(jnp.float32)
+                velocity = vu + guidance_scale * (velocity - vu)
+            if use_unipc:
+                x_next, m_i, x_hist = unipc_sample_step(
+                    x, velocity, i, sigmas, m_prev, x_prev, n_steps,
+                    m_prev2=m_prev2,
+                )
+            else:
+                x_next = x + (sigmas[i + 1] - sigmas[i]) * velocity
+                m_i, x_hist = m_prev, x_prev
+            scores = out.routing_scores if return_scores else jnp.zeros((), jnp.float32)
+            return (x_next, m_i, m_prev, x_hist, new_caches), scores
+
+        return denoise_step, init_carry, n_steps, dict(locals())
+
+    def make_stepper(self, sampling: SamplingConfig):
+        """Host-driven serving loop: (init_carry, step_once, n_steps).
+
+        ``step_once(carry, i, pe, ne, image_embeds)`` runs ONE denoise step
+        as its own jit dispatch (the same compiled program for every step —
+        the step index is traced).  Use when a single dispatch must stay
+        short (e.g. remote-tunneled TPUs kill >60 s dispatches, where a
+        50-step 720p scan cannot run as one jit) or when the host wants
+        per-step control (progress, early exit, per-step telemetry).  The
+        jit'd scan loop (__call__) remains the preferred path on local
+        hardware.
+        """
+        denoise_step, init_carry, n_steps, _env = self._build_step_parts(sampling)
+        model = self.model
+
+        @nnx.jit
+        def step_once(model: WanModel, carry, i, pe, ne, image_embeds):
+            return denoise_step(model, carry, i, pe, ne, image_embeds)
+
+        def step_fn(carry, i, pe, ne, image_embeds=None):
+            return step_once(model, carry, jnp.asarray(i, jnp.int32), pe, ne,
+                             image_embeds)
+
+        return init_carry, step_fn, n_steps
+
+    def _build_loop(self, sampling: SamplingConfig, has_image: bool = False):
+        denoise_step, init_carry, n_steps, _env = self._build_step_parts(sampling)
+        return_scores = sampling.return_scores
+
+        @nnx.jit
+        def run(model: WanModel, latents, prompt_embeds, negative_prompt_embeds,
+                image_embeds):
+            @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
+            def step(model: WanModel, carry, i):
+                return denoise_step(model, carry, i, prompt_embeds,
+                                    negative_prompt_embeds, image_embeds)
+
             (x, _, _, _, _), scores = step(
-                model,
-                (x0, jnp.zeros_like(x0), jnp.zeros_like(x0), x0, init_caches()),
-                jnp.arange(n_steps),
+                model, init_carry(latents), jnp.arange(n_steps)
             )
             return x, scores
 
         if self.mesh is None:
             return run
+
+        # --- SP path: re-bind the sampling-derived locals computed by
+        # _build_step_parts (the shard_map'd velocity_fn below closes over
+        # them directly rather than through denoise_step)
+        schedule = _env["schedule"]
+        use_unipc = _env["use_unipc"]
+        attn_cfg = _env["attn_cfg"]
+        interpret = _env["interpret"]
+        do_cfg = _env["do_cfg"]
+        cfg_batch = _env["cfg_batch"]
+        routing_mode = _env["routing_mode"]
+        mm = _env["mm"]
+        act_scales = _env["act_scales"]
+        cache_threshold = _env["cache_threshold"]
+        use_cache = _env["use_cache"]
+        cache_warmup = _env["cache_warmup"]
+        cache_coefficients = _env["cache_coefficients"]
+        qblocks = _env["qblocks"]
+        guidance_scale = _env["guidance_scale"]
+        from ..schedulers.unipc import unipc_sample_step
 
         # --- sequence-parallel loop: shard_map'd model step inside the scan
         from jax import shard_map
@@ -235,7 +305,7 @@ class WanT2VPipeline:
         mesh = self.mesh
         graphdef, _ = nnx.split(self.model)
 
-        def velocity_fn(state, x, pe, ne, img, t, caches, force):
+        def velocity_fn(state, x, pe, ne, img, t, caches, force, qb):
             model = nnx.merge(graphdef, state)
             ckw = dict(cache_threshold=cache_threshold,
                        cache_force_compute=force,
@@ -252,6 +322,7 @@ class WanT2VPipeline:
                     ),
                     interpret=interpret, sp_axis="sp",
                     mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qb,
                     step_cache=caches[0] if use_cache else None, **ckw,
                 )
                 if use_cache:
@@ -265,6 +336,7 @@ class WanT2VPipeline:
                 attn_cfg=attn_cfg, routing_mode=routing_mode,
                 image_context=img, interpret=interpret, sp_axis="sp",
                 mm_precision=mm, act_scales=act_scales,
+                quantized_blocks=qb,
                 step_cache=caches[0] if use_cache else None, **ckw,
             )
             if use_cache:
@@ -276,6 +348,7 @@ class WanT2VPipeline:
                     attn_cfg=attn_cfg, routing_mode=routing_mode,
                     image_context=img, interpret=interpret, sp_axis="sp",
                     mm_precision=mm, act_scales=act_scales,
+                    quantized_blocks=qb,
                     step_cache=caches[1] if use_cache else None, **ckw,
                 )
                 if use_cache:
@@ -294,9 +367,13 @@ class WanT2VPipeline:
             n_arms = 1 if (cfg_batch or not do_cfg) else 2
         cache_specs = (cache_spec,) * n_arms
 
+        # quantized stack (if any) is replicated across the mesh: each chip
+        # holds the int4/int8 weights and dequantizes its own block copies
+        qb_specs = jax.tree.map(lambda _: P(), qblocks) if qblocks is not None else None
         smapped = shard_map(
             velocity_fn, mesh=mesh,
-            in_specs=(P(), P(None, "sp"), P(), P(), P(), P(), cache_specs, P()),
+            in_specs=(P(), P(None, "sp"), P(), P(), P(), P(), cache_specs, P(),
+                      qb_specs),
             out_specs=(P(None, "sp"), cache_specs),
             check_vma=False,
         )
@@ -332,7 +409,8 @@ class WanT2VPipeline:
                     t = jnp.full((x.shape[0],), timesteps[i])
                     force = (i < cache_warmup) | (i == n_steps - 1)
                     v, new_caches = smapped(
-                        state, x, pe, ne, image_embeds, t, caches, force
+                        state, x, pe, ne, image_embeds, t, caches, force,
+                        qblocks,
                     )
                     if use_unipc:
                         x_next, m_i, x_hist = unipc_sample_step(
