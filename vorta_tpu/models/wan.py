@@ -19,6 +19,7 @@ precomputed host-side at trace time.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -89,22 +90,42 @@ class WanSelfAttention(nnx.Module):
         interpret: bool = False,
         sp_axis: Optional[str] = None,
     ) -> jax.Array:
+        from ..ops.prologue import fused_qk_prologue, supports_prologue
         from ..ops.qmm import fused_linear
         from ..ops.rope import apply_rope_half
 
         # one concatenated qkv matmul (fewer launches; int8 quantizes x once)
         q, k, v = fused_linear(x, (self.to_q, self.to_k, self.to_v))
-        if self.norm_q is not None:
-            q = self.norm_q(q)
-            k = self.norm_k(k)
-        q = _split_heads(q, self.num_heads)
-        k = _split_heads(k, self.num_heads)
-        v = _split_heads(v, self.num_heads)
+        cos, sin = rope  # local slices when sequence-parallel
         # contiguous-half RoPE: to_q/to_k columns (and qk-norm gains) are in
         # the half-permuted layout — see ops/rope.py permute_qk_to_half
-        cos, sin = rope  # local slices when sequence-parallel
-        q = apply_rope_half(q, cos, sin)
-        k = apply_rope_half(k, cos, sin)
+        if (
+            routing_mode != "soft"
+            and os.environ.get("VORTA_PROLOGUE", "fused") == "fused"
+            and supports_prologue(q.shape[1], q.shape[-1], self.num_heads)
+        ):
+            # inference: one fused Pallas pass for qk-norm + half-RoPE +
+            # head split (no VJP; the soft-routing training path keeps the
+            # differentiable XLA ops below)
+            q, k, v = fused_qk_prologue(
+                q, k, v,
+                self.norm_q.weight.value if self.norm_q is not None else None,
+                self.norm_k.weight.value if self.norm_k is not None else None,
+                cos, sin,
+                num_heads=self.num_heads,
+                eps=self.norm_q.eps if self.norm_q is not None else 1e-6,
+                qk_norm=self.norm_q is not None,
+                interpret=interpret,
+            )
+        else:
+            if self.norm_q is not None:
+                q = self.norm_q(q)
+                k = self.norm_k(k)
+            q = _split_heads(q, self.num_heads)
+            k = _split_heads(k, self.num_heads)
+            v = _split_heads(v, self.num_heads)
+            q = apply_rope_half(q, cos, sin)
+            k = apply_rope_half(k, cos, sin)
 
         if sp_axis is not None:
             # Ulysses reshard: full sequence, 1/P of the heads per rank
