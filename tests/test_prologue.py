@@ -69,6 +69,95 @@ def test_supports_prologue_gates():
     assert supports_prologue(256, 1536, 12)      # Wan 1.3B geometry
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_prologue_perhead_norm_parity(dtype):
+    """norm_scope='head': per-head RMS (Hunyuan PerHeadRMSNorm semantics),
+    gain (d,) tiled across heads, identity-rotation padding on text rows."""
+    b, s, h, d = 1, 48, 3, 128
+    dim = h * d
+    video = 32  # rows >= video get (cos=1, sin=0): rotation is a no-op
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, kg1, kg2, kt = jax.random.split(key, 6)
+    q = jax.random.normal(kq, (b, s, dim), dtype)
+    k = jax.random.normal(kk, (b, s, dim), dtype)
+    v = jax.random.normal(kv, (b, s, dim), dtype)
+    gq = 1.0 + 0.1 * jax.random.normal(kg1, (d,), jnp.float32)
+    gk = 1.0 + 0.1 * jax.random.normal(kg2, (d,), jnp.float32)
+    ang = jax.random.uniform(kt, (video, d // 2), jnp.float32, 0, 6.28)
+    cos = jnp.concatenate([jnp.cos(ang), jnp.ones((s - video, d // 2))])
+    sin = jnp.concatenate([jnp.sin(ang), jnp.zeros((s - video, d // 2))])
+
+    fq, fk, fv = fused_qk_prologue(
+        q, k, v, jnp.tile(gq, h), jnp.tile(gk, h), cos, sin,
+        num_heads=h, eps=1e-6, qk_norm=True, norm_scope="head",
+        interpret=True,
+    )
+
+    def perhead_rms(x, g):
+        xs = x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        xf = xs.astype(jnp.float32)
+        r = jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + 1e-6)
+        return (xf * r * g[None, None, None]).astype(x.dtype)
+
+    uq = perhead_rms(q, gq)
+    uk = perhead_rms(k, gk)
+    uq = jnp.concatenate(
+        [apply_rope_half(uq[:, :, :video], jnp.cos(ang), jnp.sin(ang)),
+         uq[:, :, video:]], axis=2)
+    uk = jnp.concatenate(
+        [apply_rope_half(uk[:, :, :video], jnp.cos(ang), jnp.sin(ang)),
+         uk[:, :, video:]], axis=2)
+    uv = v.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+    tol = 1e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(np.asarray(fq, np.float32), np.asarray(uq, np.float32), atol=tol, rtol=tol)
+    np.testing.assert_allclose(np.asarray(fk, np.float32), np.asarray(uk, np.float32), atol=tol, rtol=tol)
+    np.testing.assert_array_equal(np.asarray(fv, np.float32), np.asarray(uv, np.float32))
+
+
+def test_hunyuan_paths_fused_equals_unfused(monkeypatch):
+    """Joint + single attention identical with the prologue fused vs off
+    (per-head norm scope; single-stream identity-rotation text padding)."""
+    from flax import nnx
+
+    from vorta_tpu.config import AttentionConfig
+    from vorta_tpu.models.hunyuan import (HunyuanJointAttention,
+                                          HunyuanModelConfig,
+                                          HunyuanSingleAttention,
+                                          hunyuan_rope_tables)
+    from vorta_tpu.ops.joint_experts import JointConfig
+
+    cfg = HunyuanModelConfig(
+        dim=256, num_heads=2, head_dim=128, dual_layers=1, single_layers=1,
+        text_dim=48, text_len=16, pooled_dim=32, rope_axes=(16, 56, 56),
+        freq_dim=32, refiner_layers=1, mlp_ratio=2.0,
+    )
+    grid = (2, 4, 8)  # sv=64, joint=80 — both %16==0
+    attn = AttentionConfig(
+        latent_shape=grid, sta_window=(3, 3, 3), sta_tile=(2, 2, 2),
+        lowres_window=(2, 2, 2), block_q=16, block_kv=16,
+    )
+    jcfg = JointConfig(video=attn, text_len=cfg.text_len)
+    sv = 64
+    rope = hunyuan_rope_tables(grid, cfg)
+    mask = jnp.ones((1, cfg.text_len), bool)
+    kw = dict(dtype=jnp.float32, param_dtype=jnp.float32, rngs=nnx.Rngs(0))
+    joint = HunyuanJointAttention(cfg, **kw)
+    single = HunyuanSingleAttention(cfg, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, sv, cfg.dim), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.dim), jnp.float32)
+    xj = jnp.concatenate([x, ctx], axis=1)
+
+    outs = {}
+    for mode in ("fused", "off"):
+        monkeypatch.setenv("VORTA_PROLOGUE", mode)
+        outs[mode] = (
+            joint(x, ctx, rope, mask, jcfg, None, "off", True),
+            single(xj, sv, rope, mask, jcfg, None, "off", True),
+        )
+    for f, u in zip(jax.tree.leaves(outs["fused"]), jax.tree.leaves(outs["off"])):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(u), atol=2e-5, rtol=2e-5)
+
+
 def test_model_path_fused_equals_unfused(monkeypatch):
     """WanSelfAttention output identical with the prologue fused vs env-disabled."""
     from flax import nnx

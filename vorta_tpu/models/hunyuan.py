@@ -212,20 +212,34 @@ class HunyuanJointAttention(nnx.Module):
 
     def __call__(self, x, ctx, rope, text_mask, jcfg, scores, routing_mode,
                  interpret, sp_axis=None):
+        from ..ops.prologue import use_fused_prologue
         from ..ops.qmm import fused_linear
 
         h = self.num_heads
         # one concatenated qkv matmul over the 100k-token video stream
         qp, kp, vp = fused_linear(x, (self.to_q, self.to_k, self.to_v))
-        qv = self.norm_q(_split_heads(qp, h))
-        kv_ = self.norm_k(_split_heads(kp, h))
-        vv = _split_heads(vp, h)
+        cos, sin = rope  # local slices when sequence-parallel
+        if use_fused_prologue(routing_mode, qp.shape[1], qp.shape[-1], h):
+            # per-head RMSNorm + half-RoPE + head split in one Pallas pass
+            # (inference; the text stream below is 256 tokens — left unfused)
+            from ..ops.prologue import fused_qk_prologue
+
+            qv, kv_, vv = fused_qk_prologue(
+                qp, kp, vp,
+                jnp.tile(self.norm_q.weight.value, h),
+                jnp.tile(self.norm_k.weight.value, h),
+                cos, sin, num_heads=h, eps=self.norm_q.eps,
+                norm_scope="head", interpret=interpret,
+            )
+        else:
+            qv = self.norm_q(_split_heads(qp, h))
+            kv_ = self.norm_k(_split_heads(kp, h))
+            vv = _split_heads(vp, h)
+            qv = apply_rope_half(qv, cos, sin)
+            kv_ = apply_rope_half(kv_, cos, sin)
         qt = self.norm_added_q(_split_heads(self.add_q_proj(ctx), h))
         kt = self.norm_added_k(_split_heads(self.add_k_proj(ctx), h))
         vt = _split_heads(self.add_v_proj(ctx), h)
-        cos, sin = rope  # local slices when sequence-parallel
-        qv = apply_rope_half(qv, cos, sin)
-        kv_ = apply_rope_half(kv_, cos, sin)
 
         if sp_axis is not None:
             qv, kv_, vv, qt, kt, vt, scores = _sp_joint_in(
@@ -263,15 +277,41 @@ class HunyuanSingleAttention(nnx.Module):
         if qkv is None:
             qkv = fused_linear(x_joint, (self.to_q, self.to_k, self.to_v))
         qp, kp, vp = qkv
-        q = self.norm_q(_split_heads(qp, h))
-        k = self.norm_k(_split_heads(kp, h))
-        v = _split_heads(vp, h)
-        qv, qt = q[:, :, :video_len], q[:, :, video_len:]
-        kv_, kt = k[:, :, :video_len], k[:, :, video_len:]
-        vv, vt = v[:, :, :video_len], v[:, :, video_len:]
         cos, sin = rope  # local slices when sequence-parallel
-        qv = apply_rope_half(qv, cos, sin)
-        kv_ = apply_rope_half(kv_, cos, sin)
+        from ..ops.prologue import use_fused_prologue
+
+        if use_fused_prologue(routing_mode, qp.shape[1], qp.shape[-1], h):
+            # one fused pass over the whole [video|text] stream: norm applies
+            # to every row; RoPE rows past video_len are padded to the
+            # identity rotation (cos=1, sin=0), so no block-seam constraint
+            from ..ops.prologue import fused_qk_prologue
+
+            text_len = qp.shape[1] - video_len
+            cos_j = jnp.concatenate(
+                [cos, jnp.ones((text_len, cos.shape[-1]), cos.dtype)]
+            )
+            sin_j = jnp.concatenate(
+                [sin, jnp.zeros((text_len, sin.shape[-1]), sin.dtype)]
+            )
+            q, k, v = fused_qk_prologue(
+                qp, kp, vp,
+                jnp.tile(self.norm_q.weight.value, h),
+                jnp.tile(self.norm_k.weight.value, h),
+                cos_j, sin_j, num_heads=h, eps=self.norm_q.eps,
+                norm_scope="head", interpret=interpret,
+            )
+            qv, qt = q[:, :, :video_len], q[:, :, video_len:]
+            kv_, kt = k[:, :, :video_len], k[:, :, video_len:]
+            vv, vt = v[:, :, :video_len], v[:, :, video_len:]
+        else:
+            q = self.norm_q(_split_heads(qp, h))
+            k = self.norm_k(_split_heads(kp, h))
+            v = _split_heads(vp, h)
+            qv, qt = q[:, :, :video_len], q[:, :, video_len:]
+            kv_, kt = k[:, :, :video_len], k[:, :, video_len:]
+            vv, vt = v[:, :, :video_len], v[:, :, video_len:]
+            qv = apply_rope_half(qv, cos, sin)
+            kv_ = apply_rope_half(kv_, cos, sin)
         if sp_axis is not None:
             qv, kv_, vv, qt, kt, vt, scores = _sp_joint_in(
                 qv, kv_, vv, qt, kt, vt, scores, sp_axis

@@ -19,7 +19,6 @@ precomputed host-side at trace time.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -90,7 +89,7 @@ class WanSelfAttention(nnx.Module):
         interpret: bool = False,
         sp_axis: Optional[str] = None,
     ) -> jax.Array:
-        from ..ops.prologue import fused_qk_prologue, supports_prologue
+        from ..ops.prologue import fused_qk_prologue, use_fused_prologue
         from ..ops.qmm import fused_linear
         from ..ops.rope import apply_rope_half
 
@@ -99,11 +98,7 @@ class WanSelfAttention(nnx.Module):
         cos, sin = rope  # local slices when sequence-parallel
         # contiguous-half RoPE: to_q/to_k columns (and qk-norm gains) are in
         # the half-permuted layout — see ops/rope.py permute_qk_to_half
-        if (
-            routing_mode != "soft"
-            and os.environ.get("VORTA_PROLOGUE", "fused") == "fused"
-            and supports_prologue(q.shape[1], q.shape[-1], self.num_heads)
-        ):
+        if use_fused_prologue(routing_mode, q.shape[1], q.shape[-1], self.num_heads):
             # inference: one fused Pallas pass for qk-norm + half-RoPE +
             # head split (no VJP; the soft-routing training path keeps the
             # differentiable XLA ops below)

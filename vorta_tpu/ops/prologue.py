@@ -43,13 +43,14 @@ def _pick_block(s: int, cap: int = 256) -> Optional[int]:
 
 
 def _prologue_kernel(q_ref, k_ref, v_ref, gq_ref, gk_ref, cos_ref, sin_ref,
-                     qo_ref, ko_ref, vo_ref, *, num_heads, eps, qk_norm):
+                     qo_ref, ko_ref, vo_ref, *, num_heads, eps, qk_norm,
+                     norm_scope):
     d = qo_ref.shape[-1]
     h2 = d // 2
     cos = cos_ref[...]  # (bs, d//2) f32
     sin = sin_ref[...]
 
-    def norm(x_ref, g_ref):
+    def norm_row(x_ref, g_ref):
         xf = x_ref[0].astype(jnp.float32)  # (bs, D)
         if not qk_norm:
             return xf
@@ -62,16 +63,31 @@ def _prologue_kernel(q_ref, k_ref, v_ref, gq_ref, gk_ref, cos_ref, sin_ref,
             x_ref.dtype
         ).astype(jnp.float32)
 
-    qn = norm(q_ref, gq_ref)
-    kn = norm(k_ref, gk_ref)
+    def norm_head(x_ref, g_ref, h):
+        xf = x_ref[0][:, h * d : (h + 1) * d].astype(jnp.float32)  # (bs, d)
+        if not qk_norm:
+            return xf
+        r = jax.lax.rsqrt(
+            jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps
+        )
+        g = g_ref[0][h * d : (h + 1) * d].astype(jnp.float32)
+        return (xf * r * g).astype(x_ref.dtype).astype(jnp.float32)
+
+    if norm_scope == "row":
+        qn_full = norm_row(q_ref, gq_ref)
+        kn_full = norm_row(k_ref, gk_ref)
     for h in range(num_heads):
-        x1 = qn[:, h * d : h * d + h2]
-        x2 = qn[:, h * d + h2 : (h + 1) * d]
+        if norm_scope == "row":
+            qn = qn_full[:, h * d : (h + 1) * d]
+            kn = kn_full[:, h * d : (h + 1) * d]
+        else:
+            qn = norm_head(q_ref, gq_ref, h)
+            kn = norm_head(k_ref, gk_ref, h)
+        x1, x2 = qn[:, :h2], qn[:, h2:]
         qo_ref[0, h] = jnp.concatenate(
             [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
         ).astype(qo_ref.dtype)
-        y1 = kn[:, h * d : h * d + h2]
-        y2 = kn[:, h * d + h2 : (h + 1) * d]
+        y1, y2 = kn[:, :h2], kn[:, h2:]
         ko_ref[0, h] = jnp.concatenate(
             [y1 * cos - y2 * sin, y1 * sin + y2 * cos], axis=-1
         ).astype(ko_ref.dtype)
@@ -79,7 +95,8 @@ def _prologue_kernel(q_ref, k_ref, v_ref, gq_ref, gk_ref, cos_ref, sin_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "qk_norm", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "eps", "qk_norm", "interpret", "norm_scope"),
 )
 def fused_qk_prologue(
     q: jax.Array,  # (B, S, D)
@@ -87,16 +104,18 @@ def fused_qk_prologue(
     v: jax.Array,
     gain_q: Optional[jax.Array],  # (D,) f32 or None
     gain_k: Optional[jax.Array],
-    cos: jax.Array,  # (S, d//2) f32
-    sin: jax.Array,
+    cos: jax.Array,  # (S, d//2) f32 — pad rows with (cos=1, sin=0) for any
+    sin: jax.Array,  # trailing no-rotation region (e.g. joint text tokens)
     *,
     num_heads: int,
     eps: float = 1e-6,
     qk_norm: bool = True,
     interpret: bool = False,
+    norm_scope: str = "row",  # "row": RMS over D (Wan); "head": per head d
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     b, s, dim = q.shape
     d = dim // num_heads
+    assert cos.shape[0] == s, (cos.shape, s)  # pad with (1, 0) rows upstream
     bs = _pick_block(s)
     assert bs is not None, s  # callers gate on supports_prologue
     nblk = s // bs
@@ -116,7 +135,8 @@ def fused_qk_prologue(
     out_shape = jax.ShapeDtypeStruct((b, num_heads, s, d), q.dtype)
 
     kernel = functools.partial(
-        _prologue_kernel, num_heads=num_heads, eps=eps, qk_norm=qk_norm
+        _prologue_kernel, num_heads=num_heads, eps=eps, qk_norm=qk_norm,
+        norm_scope=norm_scope,
     )
     return pl.pallas_call(
         kernel,
@@ -137,4 +157,16 @@ def supports_prologue(s: int, dim: int, num_heads: int) -> bool:
         _pick_block(s) is not None
         and d % 128 == 0
         and dim == num_heads * d
+    )
+
+
+def use_fused_prologue(routing_mode: str, s: int, dim: int, num_heads: int) -> bool:
+    """Inference-path gate shared by all call sites: no VJP is defined, so
+    the soft-routing training path keeps the differentiable XLA ops."""
+    import os
+
+    return (
+        routing_mode != "soft"
+        and os.environ.get("VORTA_PROLOGUE", "fused") == "fused"
+        and supports_prologue(s, dim, num_heads)
     )
