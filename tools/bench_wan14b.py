@@ -116,13 +116,32 @@ def main():
         qtree = pickle.loads(cache.read_bytes())
         print(f"[14b] quantized stack from cache {time.time() - t0:.0f}s", flush=True)
     else:
+        # init + quantize ONE layer, then tile it across the depth: ~40x
+        # faster host prep and timing-identical — the router bias emulation
+        # already forces every block to the same head mix, so repeated
+        # weights change no dispatch decision, only the (value-independent)
+        # arithmetic.  This replaced a 56 GB f32 full-random init that took
+        # ~55 min of host time.
         t0 = time.time()
-        host_blocks = jax.tree_util.tree_map_with_path(init_leaf, abs_blocks)
-        print(f"[14b] host init {time.time() - t0:.0f}s", flush=True)
-        t0 = time.time()
-        qtree = quantize_stacked_tree(host_blocks, bits=args.bits, out_dtype=ml_dtypes.bfloat16)
-        del host_blocks
-        print(f"[14b] quantize {time.time() - t0:.0f}s -> "
+        abs1 = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct((1,) + a.shape[1:], a.dtype),
+            abs_blocks)
+        host1 = jax.tree_util.tree_map_with_path(init_leaf, abs1)
+        q1 = quantize_stacked_tree(host1, bits=args.bits, out_dtype=ml_dtypes.bfloat16)
+        del host1
+        L = cfg.num_layers
+
+        def tile(leaf):
+            if isinstance(leaf, QTensor):
+                return QTensor(
+                    q=np.repeat(np.asarray(leaf.q), L, axis=0),
+                    scale=np.repeat(np.asarray(leaf.scale), L, axis=0),
+                    shape=(L,) + tuple(leaf.shape[1:]),
+                    dtype=leaf.dtype, bits=leaf.bits)
+            return np.repeat(np.asarray(leaf), L, axis=0)
+
+        qtree = jax.tree.map(tile, q1, is_leaf=lambda x: isinstance(x, QTensor))
+        print(f"[14b] one-layer init+quantize+tile {time.time() - t0:.0f}s -> "
               f"{quantized_bytes(qtree) / 2**30:.2f} GiB", flush=True)
         cache.write_bytes(pickle.dumps(qtree, protocol=4))
     qtree = jax.tree.map(jnp.asarray, qtree)
