@@ -33,7 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_block(s: int, cap: int = 256) -> Optional[int]:
+def _row_cap(dim: int) -> int:
+    """Block rows so the f32 row intermediates stay within scoped VMEM:
+    bs*dim <= 384k elements (bs=256 at Wan-1.3B's 1536, 64 at 14B's 5120)."""
+    return max(16, (384 * 1024 // dim) // 16 * 16)
+
+
+def _pick_block(s: int, cap: int) -> Optional[int]:
     """Largest multiple-of-16 divisor of s not exceeding cap."""
     best = None
     for bs in range(16, cap + 1, 16):
@@ -116,7 +122,7 @@ def fused_qk_prologue(
     b, s, dim = q.shape
     d = dim // num_heads
     assert cos.shape[0] == s, (cos.shape, s)  # pad with (1, 0) rows upstream
-    bs = _pick_block(s)
+    bs = _pick_block(s, _row_cap(dim))
     assert bs is not None, s  # callers gate on supports_prologue
     nblk = s // bs
 
@@ -154,7 +160,7 @@ def fused_qk_prologue(
 def supports_prologue(s: int, dim: int, num_heads: int) -> bool:
     d = dim // num_heads
     return (
-        _pick_block(s) is not None
+        _pick_block(s, _row_cap(dim)) is not None
         and d % 128 == 0
         and dim == num_heads * d
     )
