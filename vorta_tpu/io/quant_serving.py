@@ -127,6 +127,42 @@ def _quantize_and_put(host_state, bits: int):
     return qtree, nbytes
 
 
+def _random_quantized_tiled(abs_blocks, depth: int, bits: int, seed: int):
+    """Random-init fast path: init + quantize ONE layer host-side, tile it
+    across the depth, device_put.  ~40x faster than full-random init (a 14B
+    f32 init is ~56 GB / ~55 min of host time); values only matter for
+    speed smoke runs, and routers merged afterwards still differ per layer.
+    Returns the device qtree."""
+    from ..ops.quant import QTensor
+
+    abs1 = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct((1,) + a.shape[1:], a.dtype), abs_blocks
+    )
+    q1, _ = _quantize_and_put_host(_host_random_state(abs1, seed), bits)
+
+    def tile(leaf):
+        if isinstance(leaf, QTensor):
+            return QTensor(
+                q=np.repeat(np.asarray(leaf.q), depth, axis=0),
+                scale=np.repeat(np.asarray(leaf.scale), depth, axis=0),
+                shape=(depth,) + tuple(leaf.shape[1:]),
+                dtype=leaf.dtype, bits=leaf.bits)
+        return np.repeat(np.asarray(leaf), depth, axis=0)
+
+    return jax.tree.map(tile, q1, is_leaf=lambda x: isinstance(x, QTensor))
+
+
+def _quantize_and_put_host(host_state, bits: int):
+    """quantize_stacked_tree without the device_put (host numpy qtree)."""
+    import ml_dtypes
+
+    from ..ops.quant import quantize_stacked_tree, quantized_bytes
+
+    qtree = quantize_stacked_tree(host_state, bits=bits,
+                                  out_dtype=ml_dtypes.bfloat16)
+    return qtree, quantized_bytes(qtree)
+
+
 def build_quantized_wan(
     cfg,
     bits: int = 4,
@@ -152,9 +188,9 @@ def build_quantized_wan(
         lambda: WanModel(cfg, dtype=dtype, param_dtype=dtype, rngs=nnx.Rngs(0))
     )
     _, abs_blocks = nnx.split(abs_model.blocks)
-    host_blocks = _host_random_state(abs_blocks, seed)
 
     if checkpoint:
+        host_blocks = _host_random_state(abs_blocks, seed)
         from .torch_import import load_state_dict, wan_state_dict_to_tree
 
         sd = load_state_dict(checkpoint)
@@ -169,11 +205,18 @@ def build_quantized_wan(
         nnx.update(model, state1)
         print(f"[quant-serve] wan: {len(applied)} block tensors + "
               f"{len(a2)} non-block tensors imported ({len(missing)} missing)")
+        stack = host_blocks
+        quantize = True
+    else:
+        # random-init smoke/bench: one quantized layer tiled across depth
+        # (host arrays; routers below still merge per-layer)
+        stack = _random_quantized_tiled(abs_blocks, cfg.num_layers, bits, seed)
+        quantize = False
 
     if router_checkpoint:
         rp = str(router_checkpoint)
         if rp.endswith(".npz"):
-            host_blocks, n = _merge_router_npz(host_blocks, rp, "['blocks']")
+            stack, n = _merge_router_npz(stack, rp, "['blocks']")
         else:
             from .torch_import import _linear, _stack, load_state_dict
 
@@ -183,11 +226,18 @@ def build_quantized_wan(
                 {"router": {"linear": _linear(rsd, f"blocks.{i}.router.linear")}}
                 for i in range(cfg.num_layers)
             ])
-            a, _ = _overwrite_from_tree(host_blocks, rtree)
+            a, _ = _overwrite_from_tree(stack, rtree)
             n = len(a)
         print(f"[quant-serve] wan routers from {rp} ({n} tensors)")
 
-    qtree, nbytes = _quantize_and_put(host_blocks, bits)
+    if quantize:
+        qtree, nbytes = _quantize_and_put(stack, bits)
+    else:
+        from ..ops.quant import quantized_bytes
+
+        nbytes = quantized_bytes(stack)
+        qtree = jax.tree.map(jnp.asarray, stack)
+        jax.block_until_ready(jax.tree.leaves(qtree))
     print(f"[quant-serve] wan {cfg.num_layers}-block stack quantized to "
           f"int{bits}: {nbytes / 2**30:.2f} GiB in HBM")
     return model, qtree
@@ -213,8 +263,14 @@ def build_quantized_hunyuan(
     )
     _, abs_dual = nnx.split(abs_model.dual_blocks)
     _, abs_single = nnx.split(abs_model.single_blocks)
-    host_dual = _host_random_state(abs_dual, seed)
-    host_single = _host_random_state(abs_single, seed + 1)
+    if checkpoint:
+        host_dual = _host_random_state(abs_dual, seed)
+        host_single = _host_random_state(abs_single, seed + 1)
+    else:
+        # random-init smoke/bench fast path (see build_quantized_wan)
+        host_dual = _random_quantized_tiled(abs_dual, cfg.dual_layers, bits, seed)
+        host_single = _random_quantized_tiled(
+            abs_single, cfg.single_layers, bits, seed + 1)
 
     if checkpoint:
         from .torch_import import (
@@ -263,8 +319,16 @@ def build_quantized_hunyuan(
             n1, n2 = len(a1r), len(a2r)
         print(f"[quant-serve] hunyuan routers from {rp} ({n1}+{n2} tensors)")
 
-    q_dual, nb1 = _quantize_and_put(host_dual, bits)
-    q_single, nb2 = _quantize_and_put(host_single, bits)
+    if checkpoint:
+        q_dual, nb1 = _quantize_and_put(host_dual, bits)
+        q_single, nb2 = _quantize_and_put(host_single, bits)
+    else:
+        from ..ops.quant import quantized_bytes
+
+        nb1, nb2 = quantized_bytes(host_dual), quantized_bytes(host_single)
+        q_dual = jax.tree.map(jnp.asarray, host_dual)
+        q_single = jax.tree.map(jnp.asarray, host_single)
+        jax.block_until_ready(jax.tree.leaves((q_dual, q_single)))
     print(f"[quant-serve] hunyuan {cfg.dual_layers}+{cfg.single_layers} "
           f"stacks quantized to int{bits}: {(nb1 + nb2) / 2**30:.2f} GiB in HBM")
     return model, (q_dual, q_single)
