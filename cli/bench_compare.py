@@ -32,6 +32,16 @@ def _load_cache_poly(args):
     return tuple(float(c) for c in np.load(args.cache_poly)["coefficients"])
 
 
+def _arm_chunk(args, name: str) -> int:
+    """Per-arm steps_per_dispatch: one int for all arms, or
+    'baseline,vorta,cached' comma list."""
+    parts = [int(x) for x in str(args.steps_per_dispatch).split(",")]
+    if len(parts) == 1:
+        return parts[0]
+    idx = {"baseline": 0, "vorta": 1, "vorta_cached": 2}.get(name, 1)
+    return parts[min(idx, len(parts) - 1)]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="wan-1_3B",
@@ -78,11 +88,18 @@ def main(argv=None):
                         "reports speedup + PSNR/SSIM + weight-free video "
                         "metrics vs the same baseline")
     p.add_argument("--stepwise", action="store_true",
-                   help="drive each arm one jit dispatch per denoise step "
-                        "(pipe.make_stepper): required on remote-tunneled "
-                        "TPUs where a full-scan dispatch at 720p exceeds the "
-                        "~60 s kill; timing then includes per-step dispatch "
-                        "overhead (~10-30 ms/step, <1%% at 720p)")
+                   help="drive each arm through pipe.make_stepper (one jit "
+                        "dispatch per --steps_per_dispatch denoise steps): "
+                        "required on remote-tunneled TPUs where a full-scan "
+                        "dispatch at 720p exceeds the ~60 s kill")
+    p.add_argument("--steps_per_dispatch", default="1",
+                   help="steps per stepper dispatch (must divide "
+                        "num_inference_steps); >1 amortizes the per-dispatch "
+                        "tunnel overhead (measured 3-7 s/dispatch remote) — "
+                        "pick the largest value that keeps one dispatch "
+                        "under the kill limit. Either one int for all arms "
+                        "or 'baseline,vorta,cached' (e.g. 2,8,8: the slow "
+                        "dense arm needs smaller dispatches)")
     p.add_argument("--lpips_weights", default=None,
                    help="local LPIPS net weights (no pretrained nets ship "
                         "in this environment; lpips is null without this)")
@@ -182,20 +199,22 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed), 1, args.num_frames, args.height, args.width
     )
 
-    def run_arm(run_pipe, sampling, noise_in):
+    def run_arm(run_pipe, sampling, noise_in, arm_name="vorta"):
         """One arm: jit'd scan loop, or host-driven stepper (--stepwise)."""
         if not args.stepwise:
             return run_pipe(noise_in, pe, ne, sampling=sampling)
-        init_carry, step_fn, n_steps = run_pipe.make_stepper(sampling)
+        chunk = min(_arm_chunk(args, arm_name), args.num_inference_steps)
+        init_carry, step_fn, n_steps = run_pipe.make_stepper(sampling, chunk=chunk)
         carry = init_carry(noise_in)
         sc_all = []
-        for i in range(n_steps):
+        for i in range(0, n_steps, chunk):
             carry, sc = step_fn(carry, i, pe, ne)
             if sampling.return_scores:
-                sc_all.append(sc)
+                # chunk>1 already carries a leading per-step axis
+                sc_all.append(sc if chunk > 1 else sc[None])
         lat = carry[0]
         lat.block_until_ready()
-        scores = jnp.stack(sc_all) if sc_all else None
+        scores = jnp.concatenate(sc_all) if sc_all else None
         return lat, scores
 
     out_dir = Path(args.output_dir)
@@ -218,7 +237,7 @@ def main(argv=None):
             cache_coefficients=_load_cache_poly(args) if cached else None,
         )
         # the fixed-seed sample (for the PSNR comparison)
-        latents, scores = run_arm(pipe, sampling, noise)
+        latents, scores = run_arm(pipe, sampling, noise, arm_name=name)
         latents.block_until_ready()
         if mode == "hard" and not cached and scores is not None:
             results["routing_mix"] = routing_mix(np.asarray(scores), args.tau_sparse)
@@ -234,7 +253,7 @@ def main(argv=None):
             1, args.num_frames, args.height, args.width,
         )
         t0 = time.time()
-        out, _ = run_arm(pipe, sampling, fresh)
+        out, _ = run_arm(pipe, sampling, fresh, arm_name=name)
         out.block_until_ready()
         dt = time.time() - t0
         results[name] = {"seconds": round(dt, 2),
@@ -436,13 +455,14 @@ def _main_hunyuan(args, interpret):
     pipe = HunyuanT2VPipeline(model, attn_cfg=attn_cfg, interpret=interpret,
                               act_scales=act_scales)
 
-    def run_arm(run_pipe, sampling, noise_in):
+    def run_arm(run_pipe, sampling, noise_in, arm_name="vorta"):
         """One arm: jit'd scan loop, or host-driven stepper (--stepwise)."""
         if not args.stepwise:
             return run_pipe(noise_in, text, mask, pooled, sampling=sampling)
-        init_carry, step_fn, n_steps = run_pipe.make_stepper(sampling)
+        chunk = min(_arm_chunk(args, arm_name), args.num_inference_steps)
+        init_carry, step_fn, n_steps = run_pipe.make_stepper(sampling, chunk=chunk)
         carry = init_carry(noise_in)
-        for i in range(n_steps):
+        for i in range(0, n_steps, chunk):
             carry, _ = step_fn(carry, i, text, mask, pooled)
         lat = carry[0]
         lat.block_until_ready()
@@ -465,7 +485,7 @@ def _main_hunyuan(args, interpret):
             cache_warmup=args.cache_warmup,
             cache_coefficients=_load_cache_poly(args) if cached else None,
         )
-        latents = run_arm(pipe, sampling, noise)
+        latents = run_arm(pipe, sampling, noise, arm_name=name)
         latents.block_until_ready()
         (out_dir / name).mkdir(parents=True, exist_ok=True)
         np.save(out_dir / name / "latents.npy", np.asarray(latents))
@@ -474,7 +494,7 @@ def _main_hunyuan(args, interpret):
             1, args.num_frames, args.height, args.width,
         )
         t0 = time.time()
-        out = run_arm(pipe, sampling, fresh)
+        out = run_arm(pipe, sampling, fresh, arm_name=name)
         out.block_until_ready()
         dt = time.time() - t0
         results[name] = {"seconds": round(dt, 2),

@@ -279,3 +279,25 @@ def test_hunyuan_stepper_matches_scan_loop():
         carry, _ = step_fn(carry, i, text, mask, pooled)
     np.testing.assert_allclose(np.asarray(carry[0]), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_wan_stepper_chunked_matches_scan_loop():
+    """chunk>1 (lax.scan inside one dispatch) reproduces the scan loop,
+    including the cache carry across chunk boundaries."""
+    model = WanModel(WAN_TINY, rngs=nnx.Rngs(0))
+    latents, pe, ne = _wan_inputs(model)
+    sampling = SamplingConfig(num_inference_steps=4, routing_mode="hard",
+                              cache_threshold=0.5, cache_warmup=1)
+    pipe = WanT2VPipeline(model, attn_cfg=ATTN, interpret=True)
+    ref, _ = pipe(latents, pe, ne, sampling=sampling)
+    init_carry, step_fn, n_steps = pipe.make_stepper(sampling, chunk=2)
+    carry = init_carry(latents)
+    for i in range(0, n_steps, 2):
+        carry, _ = step_fn(carry, i, pe, ne)
+    np.testing.assert_allclose(np.asarray(carry[0]), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipe.make_stepper(sampling, chunk=3)

@@ -205,16 +205,26 @@ class HunyuanT2VPipeline:
 
         return denoise_step, init_carry, n_steps, dict(locals())
 
-    def make_stepper(self, sampling: HunyuanSamplingConfig):
+    def make_stepper(self, sampling: HunyuanSamplingConfig, chunk: int = 1):
         """Host-driven serving loop (see WanT2VPipeline.make_stepper)."""
         denoise_step, init_carry, n_steps, _env = self._build_step_parts(sampling)
         model = self.model
+        if n_steps % chunk != 0:
+            raise ValueError(f"chunk {chunk} must divide num_inference_steps {n_steps}")
 
         @nnx.jit
         def step_once(model: HunyuanModel, carry, i, text, mask, pooled,
                       neg_text, neg_pooled):
-            return denoise_step(model, carry, i, text, mask, pooled,
-                                neg_text, neg_pooled)
+            if chunk == 1:
+                return denoise_step(model, carry, i, text, mask, pooled,
+                                    neg_text, neg_pooled)
+
+            @nnx.scan(in_axes=(None, nnx.Carry, 0), out_axes=(nnx.Carry, 0))
+            def body(model: HunyuanModel, c, j):
+                return denoise_step(model, c, j, text, mask, pooled,
+                                    neg_text, neg_pooled)
+
+            return body(model, carry, i + jnp.arange(chunk, dtype=jnp.int32))
 
         def step_fn(carry, i, text, mask, pooled, neg_text=None,
                     neg_pooled=None):
