@@ -46,6 +46,10 @@ def main():
                          "(one dispatch per step) with step-residual caching "
                          "on top of routing (+ --mm int8_static)")
     ap.add_argument("--cache_poly", default=None)
+    ap.add_argument("--full_ms", type=float, default=None,
+                    help="dense full-depth denominator in ms for the "
+                         "composed-arm speedup when --routing hard skips "
+                         "the off arm (use --fit_full's full_ms_fit)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--flow_shift", type=float, default=7.0)
     args = ap.parse_args()
@@ -173,19 +177,22 @@ def main():
             jax.block_until_ready(jax.tree.leaves(qpair_f))
 
             @jax.jit
-            def dense_fwd(state, qpair_f, lat):
+            def dense_fwd(state, qpair_f, lat, eps):
                 m = nnx.merge(graphdef, state)
-                return m(lat, jnp.full((b,), 500.0), text, mask, pooled,
-                         guidance=guidance, attn_cfg=attn, routing_mode="off",
+                # eps-perturbed input: the tunnel value-caches byte-identical
+                # dispatches, so the timed call must differ from the warmup
+                return m(lat * (1 + eps), jnp.full((b,), 500.0), text, mask,
+                         pooled, guidance=guidance, attn_cfg=attn,
+                         routing_mode="off",
                          quantized_blocks=qpair_f).sample.astype(
                              jnp.float32).mean()
 
             t0 = time.time()
-            float(dense_fwd(state, qpair_f, latents))
+            float(dense_fwd(state, qpair_f, latents, jnp.bfloat16(0.0)))
             print(f"[13b] fit frac={frac}: compile+first {time.time() - t0:.0f}s",
                   flush=True)
             t0 = time.time()
-            float(dense_fwd(state, qpair_f, latents))
+            float(dense_fwd(state, qpair_f, latents, jnp.bfloat16(1e-3)))
             meas[frac] = time.time() - t0
             print(f"[13b] fit frac={frac}: {meas[frac] * 1e3:.0f} ms/fwd",
                   flush=True)
@@ -350,10 +357,12 @@ def main():
             "steps": args.steps, "skips": skips,
             "composed_ms_per_step": round(mean_ms, 1),
         }
-        if "off" in results:
-            out["full_ms"] = round(results["off"] * 1e3, 1)
-            out["composed_speedup"] = round(
-                results["off"] * 1e3 / mean_ms, 3)
+        full_ms = (results["off"] * 1e3 if "off" in results
+                   else args.full_ms)  # e.g. the --fit_full measured fit
+        if full_ms:
+            out["full_ms"] = round(full_ms, 1)
+            out["full_ms_source"] = "measured" if "off" in results else "fit_full"
+            out["composed_speedup"] = round(full_ms / mean_ms, 3)
         print(json.dumps(out), flush=True)
 
 
