@@ -118,3 +118,44 @@ def test_pool_unpool_roundtrip_keeps_selected():
     rq, m_q = pool_by_similarity(q, groups)
     ref = unpool_by_similarity(rq, groups, m_q)
     np.testing.assert_allclose(np.asarray(back), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_picks_passthrough_matches_rederive():
+    """pool_qkv(return_picks) + unpool(picks=) == unpool re-deriving from q."""
+    groups = build_lowres_groups(LATENT, WINDOW)
+    b, h, d = 1, 2, 32
+    s = int(np.prod(LATENT))
+    q, k, v = _mk((b, h, s, d), 11), _mk((b, h, s, d), 12), _mk((b, h, s, d), 13)
+    attn_out = _mk((b, h, groups.pooled_length, d), 14)
+
+    pq, pk, pv, picks = pool_qkv(q, k, v, groups, return_picks=True,
+                                 interpret=True)
+    rq, rk, rv = pool_qkv(q, k, v, groups, interpret=True)
+    np.testing.assert_array_equal(np.asarray(pq), np.asarray(rq))
+    np.testing.assert_array_equal(np.asarray(pk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(rv))
+
+    out_fast = unpool(attn_out, q, groups, picks=picks, interpret=True)
+    out_ref = unpool(attn_out, q, groups, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_fast), np.asarray(out_ref))
+
+
+def test_picks_passthrough_headmap_mode():
+    groups = build_lowres_groups(LATENT, WINDOW)
+    b, h, d = 1, 3, 32
+    s = int(np.prod(LATENT))
+    q, k, v = _mk((b, h, s, d), 15), _mk((b, h, s, d), 16), _mk((b, h, s, d), 17)
+    attn_out = _mk((b, h, groups.pooled_length, d), 18)
+
+    head_map = jnp.asarray([0, 2, 2], jnp.int32)  # heads {0, 2} routed
+    na = jnp.asarray(2, jnp.int32)
+    outs = pool_qkv(q, k, v, groups, head_map=head_map, num_active=na,
+                    return_picks=True, interpret=True)
+    picks = outs[3]
+    fast = unpool(attn_out, q, groups, head_map=head_map, num_active=na,
+                  picks=picks, interpret=True)
+    ref = unpool(attn_out, q, groups, head_map=head_map, num_active=na,
+                 interpret=True)
+    for hh in (0, 2):  # rows outside head_map are uninitialized by contract
+        np.testing.assert_array_equal(np.asarray(fast[:, hh]),
+                                      np.asarray(ref[:, hh]))

@@ -51,14 +51,16 @@ def _geom(groups: LowresGroups):
     return groups._geom  # type: ignore[attr-defined]
 
 
-def _matching_3d(x_all32, gs: int, u: int, cs: int):
+def _matching_3d(x_all32, gs: int, u: int, cs: int, with_idx: bool = False):
     """Per-group kept-margin picks from a (gs, Gc, D) f32 slot-major stack.
 
-    Returns a (u, gs, Gc, 1) f32 one-hot pick tensor.  Identical arithmetic
-    to ops/coreset.py: cosine RANKING via (c.m)*rsqrt(||m||^2), center
-    excluded with a +inf sentinel, u iterative arg-min passes with ties to
-    the lower slot index.  All reductions run over the leading slot axis or
-    the lane axis — no strided/sublane-split accesses (Mosaic constraint).
+    Returns a (u, gs, Gc, 1) f32 one-hot pick tensor (and, with
+    ``with_idx``, the picked slot ids as (u, Gc, 1) i32).  Identical
+    arithmetic to ops/coreset.py: cosine RANKING via (c.m)*rsqrt(||m||^2),
+    center excluded with a +inf sentinel, u iterative arg-min passes with
+    ties to the lower slot index.  All reductions run over the leading slot
+    axis or the lane axis — no strided/sublane-split accesses (Mosaic
+    constraint).
     """
     c = x_all32[cs]  # (Gc, D)
     dot = jnp.sum(x_all32 * c[None], axis=-1, keepdims=True)  # (gs, Gc, 1)
@@ -67,14 +69,18 @@ def _matching_3d(x_all32, gs: int, u: int, cs: int):
     inf = jnp.float32(jnp.inf)
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 0)
     sim = jnp.where(slot_iota == cs, inf, sim)
-    picks = []
+    picks, idxs = [], []
     for _ in range(u):
         m = jnp.min(sim, axis=0, keepdims=True)
         idx = jnp.min(jnp.where(sim <= m, slot_iota, gs), axis=0, keepdims=True)
         pick = slot_iota == idx  # (gs, Gc, 1) bool
         picks.append(pick.astype(jnp.float32))
+        idxs.append(idx[0])  # (Gc, 1) i32
         sim = jnp.where(pick, inf, sim)
-    return jnp.stack(picks, axis=0)  # (u, gs, Gc, 1)
+    stacked = jnp.stack(picks, axis=0)  # (u, gs, Gc, 1)
+    if with_idx:
+        return stacked, jnp.stack(idxs, axis=0)  # + (u, Gc, 1) i32
+    return stacked
 
 
 def _stack_slots(hi_refs, window, d):
@@ -91,7 +97,8 @@ def _stack_slots(hi_refs, window, d):
     return jnp.stack(tiles, axis=0).astype(jnp.float32)  # (gs, Gc, D)
 
 
-def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, mode: str):
+def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, mode: str,
+                 with_picks: bool = False):
     wt, wh, ww = window
     gs = wt * wh * ww
     it = iter(refs)
@@ -107,13 +114,20 @@ def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, mode: str):
     qc_ref, qm_ref = next(it), next(it)
     kc_ref, km_ref = next(it), next(it)
     vc_ref, vm_ref = next(it), next(it)
+    pick_ref = next(it) if with_picks else None
 
     def body():
         q_all = _stack_slots(q_refs, window, d)  # (gs, Gc, D) f32
         k_all = _stack_slots(k_refs, window, d)
         v_all = _stack_slots(v_refs, window, d)
 
-        picks_q = _matching_3d(q_all, gs, u, cs)
+        if with_picks:
+            picks_q, idx_q = _matching_3d(q_all, gs, u, cs, with_idx=True)
+            h3, w2c = qc_ref.shape[3], qc_ref.shape[4]
+            # (u, Gc, 1) -> (u, H3, W2c): slot-id plane per kept margin
+            pick_ref[0, 0, 0] = idx_q[:, :, 0].reshape(u, h3, w2c)
+        else:
+            picks_q = _matching_3d(q_all, gs, u, cs)
         picks_kv = _matching_3d(k_all, gs, u, cs) if kv_from_k else picks_q
 
         def emit(x_all, picks, c_ref, m_ref):
@@ -127,6 +141,14 @@ def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, mode: str):
         emit(q_all, picks_q, qc_ref, qm_ref)
         emit(k_all, picks_kv, kc_ref, km_ref)
         emit(v_all, picks_kv, vc_ref, vm_ref)
+
+    def zero():
+        # zero-fill so downstream masked attention never sees uninit VMEM
+        outs = (qc_ref, qm_ref, kc_ref, km_ref, vc_ref, vm_ref)
+        if with_picks:
+            outs = outs + (pick_ref,)
+        for r in outs:
+            r[...] = jnp.zeros_like(r)
 
     if mode == "plain":
         body()
@@ -150,12 +172,11 @@ def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, mode: str):
 
     @pl.when(active_ref[g] == 0)
     def _skip():
-        # zero-fill so downstream masked attention never sees uninit VMEM
-        for r in (qc_ref, qm_ref, kc_ref, km_ref, vc_ref, vm_ref):
-            r[...] = jnp.zeros_like(r)
+        zero()
 
 
-def _unpool_kernel(*refs, window, d, u, cs, mode: str):
+def _unpool_kernel(*refs, window, d, u, cs, mode: str,
+                   from_picks: bool = False):
     wt, wh, ww = window
     gs = wt * wh * ww
     it = iter(refs)
@@ -165,15 +186,30 @@ def _unpool_kernel(*refs, window, d, u, cs, mode: str):
     elif mode == "headmap":
         hm_ref = next(it)
         na_ref = next(it)
-    q_refs = [next(it) for _ in range(wh)]
+    if from_picks:
+        pick_ref = next(it)  # (1,1,1,u,H3,W2c) i32 slot ids from pool_qkv
+        q_refs = None
+    else:
+        q_refs = [next(it) for _ in range(wh)]
     c_ref, m_ref = next(it), next(it)
     out_refs = [next(it) for _ in range(wh)]
 
     def body():
-        q_all = _stack_slots(q_refs, window, d)
-        picks = _matching_3d(q_all, gs, u, cs)  # (u, gs, Gc, 1)
-
         h3, w2c = c_ref.shape[3], c_ref.shape[4]
+        if from_picks:
+            # re-materialize the one-hot picks from the pool pass's slot
+            # ids: no q read, no matching recompute
+            idx = pick_ref[0, 0, 0].reshape(u, h3 * w2c, 1)  # (u, Gc, 1) i32
+
+            def pick(i, s):
+                return (idx[i] == s).astype(jnp.float32)  # (Gc, 1)
+        else:
+            q_all = _stack_slots(q_refs, window, d)
+            picks = _matching_3d(q_all, gs, u, cs)  # (u, gs, Gc, 1)
+
+            def pick(i, s):
+                return picks[i, s]  # (Gc, 1)
+
         centers = c_ref[0, 0, 0].reshape(h3 * w2c, d).astype(jnp.float32)
         kept_rows = m_ref[0, 0, 0].reshape(h3 * w2c, u * d).astype(jnp.float32)
         for ti in range(wt):
@@ -184,7 +220,7 @@ def _unpool_kernel(*refs, window, d, u, cs, mode: str):
                     val = jnp.zeros_like(centers)
                     mask = jnp.zeros((centers.shape[0], 1), jnp.float32)
                     for i in range(u):
-                        p = picks[i, s]  # (Gc, 1)
+                        p = pick(i, s)  # (Gc, 1)
                         val = val + p * kept_rows[:, i * d : (i + 1) * d]
                         mask = mask + p
                     lanes.append(val + (1.0 - mask) * centers)
@@ -266,8 +302,9 @@ def pool_qkv(
     *, kv_matching_from_k: bool = False, active: Optional[jax.Array] = None,
     head_map: Optional[jax.Array] = None,
     num_active: Optional[jax.Array] = None,
+    return_picks: bool = False,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+):
     """Pool (B,H,S,D) q/k/v to (B,H,P,D) in one fused kernel pass.
 
     Pooled layout matches ops/coreset.py: [all G centers | all G*U kept
@@ -286,6 +323,11 @@ def pool_qkv(
     with the routed head count.  Output rows of heads NOT in head_map are
     UNINITIALIZED — callers must mask downstream (see
     ops/routed_fused.lowres_all_batched).
+
+    ``return_picks``: also return Q's matching as an opaque slot-id tensor
+    (layout (B,H,T2,U,H3,W2) i32) that ``unpool(..., picks=...)`` consumes
+    directly — the unpool pass then skips re-reading q and re-deriving the
+    matching entirely.
     """
     geom, (b, h, d) = _shapes(q, groups)
     wt, wh, ww = geom.window
@@ -298,7 +340,7 @@ def pool_qkv(
 
     kernel = functools.partial(
         _pool_kernel, window=geom.window, d=d, u=u, cs=cs,
-        kv_from_k=kv_matching_from_k, mode=mode,
+        kv_from_k=kv_matching_from_k, mode=mode, with_picks=return_picks,
     )
 
     if mode == "headmap":
@@ -309,6 +351,9 @@ def pool_qkv(
         def out_map(bb, i, hh_, hm, na):
             return (bb, hm[hh_], i // ns, 0, i % ns, 0)
 
+        def pick_map(bb, i, hh_, hm, na):
+            return (bb, hm[hh_], i // ns, 0, 0, i % ns)
+
         grid = (b, t2 * ns, h)
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
@@ -318,6 +363,9 @@ def pool_qkv(
 
         def out_map(bb, hh_, i, *refs):
             return (bb, hh_, i // ns, 0, i % ns, 0)
+
+        def pick_map(bb, hh_, i, *refs):
+            return (bb, hh_, i // ns, 0, 0, i % ns)
 
         grid = (b, h, t2 * ns)
         semantics = ("parallel", "parallel", "parallel")
@@ -344,6 +392,10 @@ def pool_qkv(
             pl.BlockSpec((1, 1, 1, h3, w2c, d), out_map),
             pl.BlockSpec((1, 1, 1, h3, w2c, u * d), out_map),
         ]
+    if return_picks:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, h, t2, u, h3, w2), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, 1, u, h3, w2c), pick_map))
 
     if mode == "headmap":
         prefetch = (
@@ -378,8 +430,11 @@ def pool_qkv(
         margins = m.reshape(b, h, g * u, d)  # (g, u, d) order = group-major
         return jnp.concatenate([centers, margins], axis=2)
 
-    qc, qm, kc, km, vc, vm = outs
-    return finish(qc, qm), finish(kc, km), finish(vc, vm)
+    qc, qm, kc, km, vc, vm = outs[:6]
+    pooled = (finish(qc, qm), finish(kc, km), finish(vc, vm))
+    if return_picks:
+        return pooled + (outs[6],)
+    return pooled
 
 
 def unpool(
@@ -387,10 +442,13 @@ def unpool(
     *, active: Optional[jax.Array] = None,
     head_map: Optional[jax.Array] = None,
     num_active: Optional[jax.Array] = None,
+    picks: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Scatter a pooled (B,H,P,D) attention output back to (B,H,S,D),
-    re-deriving Q's matching in-kernel (bitwise-identical arithmetic).
+    re-deriving Q's matching in-kernel (bitwise-identical arithmetic) — or,
+    when ``picks`` (from ``pool_qkv(return_picks=True)``) is given, reusing
+    the pool pass's matching: no q read, no matching recompute.
 
     ``active``: optional (H,) participation mask — inactive heads skip the
     matching compute and write zeros.
@@ -408,6 +466,7 @@ def unpool(
 
     kernel = functools.partial(
         _unpool_kernel, window=geom.window, d=d, u=u, cs=cs, mode=mode,
+        from_picks=picks is not None,
     )
     # free views of the group-major pooled rows
     centers = pooled_out[:, :, :g].reshape(b, h, t2, h3, w2, d)
@@ -425,6 +484,9 @@ def unpool(
         def o_map(bb, i, hh_, hm, na):
             return (bb, hm[hh_], i // ns, 0, 0, i % ns, 0)
 
+        def pick_map(bb, i, hh_, hm, na):
+            return (bb, hm[hh_], i // ns, 0, 0, i % ns)
+
         grid = (b, t2 * ns, h)
         semantics = ("parallel", "arbitrary", "arbitrary")
     else:
@@ -438,13 +500,21 @@ def unpool(
         def o_map(bb, hh_, i, *refs):
             return (bb, hh_, i // ns, 0, 0, i % ns, 0)
 
+        def pick_map(bb, hh_, i, *refs):
+            return (bb, hh_, i // ns, 0, 0, i % ns)
+
         grid = (b, h, t2 * ns)
         semantics = ("parallel", "parallel", "parallel")
 
     in_block = (1, 1, 1, wt, h3, 1, w2c, ww * d)
-    in_specs = [
-        pl.BlockSpec(in_block, functools.partial(in_map, hi)) for hi in range(wh)
-    ] + [
+    if picks is not None:
+        in_specs = [pl.BlockSpec((1, 1, 1, u, h3, w2c), pick_map)]
+    else:
+        in_specs = [
+            pl.BlockSpec(in_block, functools.partial(in_map, hi))
+            for hi in range(wh)
+        ]
+    in_specs += [
         pl.BlockSpec((1, 1, 1, h3, w2c, d), c_map),
         pl.BlockSpec((1, 1, 1, h3, w2c, u * d), c_map),
     ]
@@ -471,6 +541,7 @@ def unpool(
         out_specs=out_specs,
     )
 
+    data_in = ((picks,) if picks is not None else tuple([qv] * wh))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -480,7 +551,7 @@ def unpool(
             vmem_limit_bytes=80 * 2**20,
         ),
         interpret=interpret,
-    )(*prefetch, *[qv] * wh, centers, kept)
+    )(*prefetch, *data_in, centers, kept)
     # (B,H,T2,wt,H3,W2,ww*D) per wh plane -> raster (B,H,S,D)
     full = jnp.stack(outs, axis=5)  # (B,H,T2,wt,H3,wh,W2,ww*D)
     return full.reshape(b, h, t2 * wt * h3 * wh * w2 * ww, d)

@@ -237,8 +237,9 @@ def joint_lowres_attention(
         order = jnp.argsort(~active)
         hm = jnp.take(order, jnp.minimum(jnp.arange(h), n_act - 1))
         hm_kw = dict(head_map=hm, num_active=n_act)
-    pq, pk, pv = pool_qkv(qv, kv_, vv, groups, kv_matching_from_k=True,
-                          interpret=interpret, **hm_kw)
+    pq, pk, pv, picks = pool_qkv(qv, kv_, vv, groups, kv_matching_from_k=True,
+                                 return_picks=True, interpret=interpret,
+                                 **hm_kw)
     q = _assemble(pq, qt, layout)
     k = _assemble(pk, kt, layout)
     v = _assemble(pv, vt, layout)
@@ -253,7 +254,7 @@ def joint_lowres_attention(
         kv_bias=bias, interpret=interpret, softmax="fast",
     )
     pooled_out, text_out = _split(out, layout, groups.pooled_length, jcfg.text_len)
-    video_out = unpool_pallas(pooled_out, qv, groups,
+    video_out = unpool_pallas(pooled_out, qv, groups, picks=picks,
                               interpret=interpret, **hm_kw).astype(qv.dtype)
     if active is not None:
         # non-routed heads' unpool rows are uninitialized in head-map mode

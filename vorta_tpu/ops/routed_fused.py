@@ -236,15 +236,18 @@ def fused_routed_attention(
 
     def lowres_head(qh, kh, vh):
         # fused Pallas pool: one slab read of q/k/v, matching shared
-        # (reference wan.py:250-255); unpool re-derives the matching
+        # (reference wan.py:250-255); the pool pass hands its matching to
+        # unpool as packed slot ids — no q re-read, no matching recompute
         from .coreset_pallas import pool_qkv, unpool
 
-        pq, pk, pv = pool_qkv(qh, kh, vh, groups, interpret=interpret)
+        pq, pk, pv, picks = pool_qkv(qh, kh, vh, groups, return_picks=True,
+                                     interpret=interpret)
         out_p = _masked_call(
             geo.lowres, pq, pk, pv,
             jnp.ones((1,), bool), geo.tokens_per_tile, scale, interpret,
         )[:, :, : groups.pooled_length]
-        return unpool(out_p, qh, groups, interpret=interpret).astype(q.dtype)
+        return unpool(out_p, qh, groups, picks=picks,
+                      interpret=interpret).astype(q.dtype)
 
     def lowres_all_perhead():
         # Per-HEAD cond: only the routed heads' data moves, at the cost of
@@ -281,16 +284,16 @@ def fused_routed_attention(
         n_act = jnp.maximum(jnp.sum(lh.astype(jnp.int32)), 1)
         order = jnp.argsort(~lh)  # routed heads first, stable
         head_map = jnp.take(order, jnp.minimum(jnp.arange(h), n_act - 1))
-        pq, pk, pv = pool_qkv(
+        pq, pk, pv, picks = pool_qkv(
             q, k, v, groups, head_map=head_map, num_active=n_act,
-            interpret=interpret,
+            return_picks=True, interpret=interpret,
         )
         out_p = _masked_call(
             geo.lowres, pq, pk, pv, lh, geo.tokens_per_tile, scale, interpret,
         )[:, :, : groups.pooled_length]
         up = unpool(
             out_p, q, groups, head_map=head_map, num_active=n_act,
-            interpret=interpret,
+            picks=picks, interpret=interpret,
         ).astype(q.dtype)
         # heads outside head_map come back uninitialized — mask them out
         return jnp.where(lh[None, :, None, None], up, 0)
