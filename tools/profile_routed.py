@@ -110,6 +110,24 @@ def main():
 
     timed("pool_unpool_qkv", pool_only)
 
+    from vorta_tpu.ops.coreset_pallas import pool_qkv as pool_qkv_pl
+    from vorta_tpu.ops.coreset_pallas import unpool as unpool_pl
+
+    def pool_pallas_picks(c, i, q, k, v):
+        pq, pk, pv, picks = pool_qkv_pl(perturb(q, i), k, v, groups,
+                                        return_picks=True)
+        out = unpool_pl(pq + pk + pv, q, groups, picks=picks)
+        return c + out.astype(jnp.float32).mean()
+
+    timed("pool_unpool_pallas_picks", pool_pallas_picks)
+
+    def pool_pallas_rederive(c, i, q, k, v):
+        pq, pk, pv = pool_qkv_pl(perturb(q, i), k, v, groups)
+        out = unpool_pl(pq + pk + pv, q, groups)
+        return c + out.astype(jnp.float32).mean()
+
+    timed("pool_unpool_pallas_rederive", pool_pallas_rederive)
+
     def relayout_only(c, i, q, k, v):
         shp, tile = attn.latent_shape, attn.sta_tile
         tq = tile_sequence(perturb(q, i), shp, tile)

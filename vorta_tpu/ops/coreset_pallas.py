@@ -79,7 +79,9 @@ def _matching_3d(x_all32, gs: int, u: int, cs: int, with_idx: bool = False):
         sim = jnp.where(pick, inf, sim)
     stacked = jnp.stack(picks, axis=0)  # (u, gs, Gc, 1)
     if with_idx:
-        return stacked, jnp.stack(idxs, axis=0)  # + (u, Gc, 1) i32
+        # lane-concat: (Gc, u) — u rides the LANE axis so downstream
+        # reshapes are sublane-only (Mosaic-supported shape casts)
+        return stacked, jnp.concatenate(idxs, axis=-1)
     return stacked
 
 
@@ -124,8 +126,9 @@ def _pool_kernel(*refs, window, d, u, cs, kv_from_k: bool, mode: str,
         if with_picks:
             picks_q, idx_q = _matching_3d(q_all, gs, u, cs, with_idx=True)
             h3, w2c = qc_ref.shape[3], qc_ref.shape[4]
-            # (u, Gc, 1) -> (u, H3, W2c): slot-id plane per kept margin
-            pick_ref[0, 0, 0] = idx_q[:, :, 0].reshape(u, h3, w2c)
+            # (Gc, u) -> (H3, W2c, u): sublane-split only, lane dim (u)
+            # unchanged — mirrors the centers' (H3, W2c, D) layout
+            pick_ref[0, 0, 0] = idx_q.reshape(h3, w2c, u)
         else:
             picks_q = _matching_3d(q_all, gs, u, cs)
         picks_kv = _matching_3d(k_all, gs, u, cs) if kv_from_k else picks_q
@@ -187,7 +190,7 @@ def _unpool_kernel(*refs, window, d, u, cs, mode: str,
         hm_ref = next(it)
         na_ref = next(it)
     if from_picks:
-        pick_ref = next(it)  # (1,1,1,u,H3,W2c) i32 slot ids from pool_qkv
+        pick_ref = next(it)  # (1,1,1,H3,W2c,u) i32 slot ids from pool_qkv
         q_refs = None
     else:
         q_refs = [next(it) for _ in range(wh)]
@@ -198,11 +201,12 @@ def _unpool_kernel(*refs, window, d, u, cs, mode: str,
         h3, w2c = c_ref.shape[3], c_ref.shape[4]
         if from_picks:
             # re-materialize the one-hot picks from the pool pass's slot
-            # ids: no q read, no matching recompute
-            idx = pick_ref[0, 0, 0].reshape(u, h3 * w2c, 1)  # (u, Gc, 1) i32
+            # ids: no q read, no matching recompute.  (H3,W2c,u) ->
+            # (Gc, u) is a leading-dim collapse (lane dim u unchanged).
+            idx = pick_ref[0, 0, 0].reshape(h3 * w2c, u)  # (Gc, u) i32
 
             def pick(i, s):
-                return (idx[i] == s).astype(jnp.float32)  # (Gc, 1)
+                return (idx[:, i : i + 1] == s).astype(jnp.float32)  # (Gc, 1)
         else:
             q_all = _stack_slots(q_refs, window, d)
             picks = _matching_3d(q_all, gs, u, cs)  # (u, gs, Gc, 1)
@@ -325,7 +329,7 @@ def pool_qkv(
     ops/routed_fused.lowres_all_batched).
 
     ``return_picks``: also return Q's matching as an opaque slot-id tensor
-    (layout (B,H,T2,U,H3,W2) i32) that ``unpool(..., picks=...)`` consumes
+    (layout (B,H,T2,H3,W2,U) i32) that ``unpool(..., picks=...)`` consumes
     directly — the unpool pass then skips re-reading q and re-deriving the
     matching entirely.
     """
@@ -351,8 +355,7 @@ def pool_qkv(
         def out_map(bb, i, hh_, hm, na):
             return (bb, hm[hh_], i // ns, 0, i % ns, 0)
 
-        def pick_map(bb, i, hh_, hm, na):
-            return (bb, hm[hh_], i // ns, 0, 0, i % ns)
+        pick_map = out_map
 
         grid = (b, t2 * ns, h)
         semantics = ("parallel", "arbitrary", "arbitrary")
@@ -364,8 +367,7 @@ def pool_qkv(
         def out_map(bb, hh_, i, *refs):
             return (bb, hh_, i // ns, 0, i % ns, 0)
 
-        def pick_map(bb, hh_, i, *refs):
-            return (bb, hh_, i // ns, 0, 0, i % ns)
+        pick_map = out_map
 
         grid = (b, h, t2 * ns)
         semantics = ("parallel", "parallel", "parallel")
@@ -394,8 +396,8 @@ def pool_qkv(
         ]
     if return_picks:
         out_shapes.append(
-            jax.ShapeDtypeStruct((b, h, t2, u, h3, w2), jnp.int32))
-        out_specs.append(pl.BlockSpec((1, 1, 1, u, h3, w2c), pick_map))
+            jax.ShapeDtypeStruct((b, h, t2, h3, w2, u), jnp.int32))
+        out_specs.append(pl.BlockSpec((1, 1, 1, h3, w2c, u), pick_map))
 
     if mode == "headmap":
         prefetch = (
@@ -484,8 +486,7 @@ def unpool(
         def o_map(bb, i, hh_, hm, na):
             return (bb, hm[hh_], i // ns, 0, 0, i % ns, 0)
 
-        def pick_map(bb, i, hh_, hm, na):
-            return (bb, hm[hh_], i // ns, 0, 0, i % ns)
+        pick_map = c_map
 
         grid = (b, t2 * ns, h)
         semantics = ("parallel", "arbitrary", "arbitrary")
@@ -500,15 +501,14 @@ def unpool(
         def o_map(bb, hh_, i, *refs):
             return (bb, hh_, i // ns, 0, 0, i % ns, 0)
 
-        def pick_map(bb, hh_, i, *refs):
-            return (bb, hh_, i // ns, 0, 0, i % ns)
+        pick_map = c_map
 
         grid = (b, h, t2 * ns)
         semantics = ("parallel", "parallel", "parallel")
 
     in_block = (1, 1, 1, wt, h3, 1, w2c, ww * d)
     if picks is not None:
-        in_specs = [pl.BlockSpec((1, 1, 1, u, h3, w2c), pick_map)]
+        in_specs = [pl.BlockSpec((1, 1, 1, h3, w2c, u), pick_map)]
     else:
         in_specs = [
             pl.BlockSpec(in_block, functools.partial(in_map, hi))
