@@ -256,8 +256,14 @@ def main(argv=None):
         out, _ = run_arm(pipe, sampling, fresh, arm_name=name)
         out.block_until_ready()
         dt = time.time() - t0
+        # record the resolved per-arm dispatch chunk: arms may use different
+        # chunk sizes (--steps_per_dispatch a,b,c), so their s_per_step carry
+        # different amounts of per-dispatch tunnel overhead (~3-7 s remote)
+        chunk = (min(_arm_chunk(args, name), args.num_inference_steps)
+                 if args.stepwise else args.num_inference_steps)
         results[name] = {"seconds": round(dt, 2),
-                         "s_per_step": round(dt / args.num_inference_steps, 3)}
+                         "s_per_step": round(dt / args.num_inference_steps, 3),
+                         "steps_per_dispatch": chunk}
         print(f"[{name}] {dt:.2f}s ({dt / args.num_inference_steps:.2f}s/step)", flush=True)
 
     a = np.load(out_dir / "baseline" / "latents.npy")
@@ -497,8 +503,14 @@ def _main_hunyuan(args, interpret):
         out = run_arm(pipe, sampling, fresh, arm_name=name)
         out.block_until_ready()
         dt = time.time() - t0
+        # record the resolved per-arm dispatch chunk: arms may use different
+        # chunk sizes (--steps_per_dispatch a,b,c), so their s_per_step carry
+        # different amounts of per-dispatch tunnel overhead (~3-7 s remote)
+        chunk = (min(_arm_chunk(args, name), args.num_inference_steps)
+                 if args.stepwise else args.num_inference_steps)
         results[name] = {"seconds": round(dt, 2),
-                         "s_per_step": round(dt / args.num_inference_steps, 3)}
+                         "s_per_step": round(dt / args.num_inference_steps, 3),
+                         "steps_per_dispatch": chunk}
         print(f"[{name}] {dt:.2f}s ({dt / args.num_inference_steps:.2f}s/step)", flush=True)
 
     a = np.load(out_dir / "baseline" / "latents.npy")

@@ -147,9 +147,11 @@ def test_hunyuan_paths_fused_equals_unfused(monkeypatch):
     ctx = jax.random.normal(jax.random.PRNGKey(2), (1, cfg.text_len, cfg.dim), jnp.float32)
     xj = jnp.concatenate([x, ctx], axis=1)
 
+    from vorta_tpu.ops import prologue as prologue_mod
+
     outs = {}
     for mode in ("fused", "off"):
-        monkeypatch.setenv("VORTA_PROLOGUE", mode)
+        monkeypatch.setattr(prologue_mod, "_PROLOGUE_MODE", mode)
         outs[mode] = (
             joint(x, ctx, rope, mask, jcfg, None, "off", True),
             single(xj, sv, rope, mask, jcfg, None, "off", True),
@@ -176,9 +178,11 @@ def test_model_path_fused_equals_unfused(monkeypatch):
     rope = (jnp.cos(ang), jnp.sin(ang))
     cfg = AttentionConfig(latent_shape=(2, 4, 4), block_q=16, block_kv=16)
 
-    monkeypatch.setenv("VORTA_PROLOGUE", "fused")
+    from vorta_tpu.ops import prologue as prologue_mod
+
+    monkeypatch.setattr(prologue_mod, "_PROLOGUE_MODE", "fused")
     out_f = attn(x, rope, cfg, scores=None, routing_mode="off", interpret=True)
-    monkeypatch.setenv("VORTA_PROLOGUE", "off")
+    monkeypatch.setattr(prologue_mod, "_PROLOGUE_MODE", "off")
     out_u = attn(x, rope, cfg, scores=None, routing_mode="off", interpret=True)
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_u), atol=2e-5, rtol=2e-5

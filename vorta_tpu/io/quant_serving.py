@@ -138,7 +138,12 @@ def _random_quantized_tiled(abs_blocks, depth: int, bits: int, seed: int):
     abs1 = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct((1,) + a.shape[1:], a.dtype), abs_blocks
     )
-    q1, _ = _quantize_and_put_host(_host_random_state(abs1, seed), bits)
+    # min_bytes scaled by 1/depth: the threshold is defined on the FULL
+    # (depth, ...) stack; quantizing a depth-1 slice must make the same
+    # quantized/unquantized decision per leaf as the checkpoint path.
+    q1, _ = _quantize_and_put_host(
+        _host_random_state(abs1, seed), bits,
+        min_bytes=max(1, (1 << 22) // depth))
 
     def tile(leaf):
         if isinstance(leaf, QTensor):
@@ -152,15 +157,37 @@ def _random_quantized_tiled(abs_blocks, depth: int, bits: int, seed: int):
     return jax.tree.map(tile, q1, is_leaf=lambda x: isinstance(x, QTensor))
 
 
-def _quantize_and_put_host(host_state, bits: int):
+def _quantize_and_put_host(host_state, bits: int, min_bytes: int = 1 << 22):
     """quantize_stacked_tree without the device_put (host numpy qtree)."""
     import ml_dtypes
 
     from ..ops.quant import quantize_stacked_tree, quantized_bytes
 
-    qtree = quantize_stacked_tree(host_state, bits=bits,
+    qtree = quantize_stacked_tree(host_state, bits=bits, min_bytes=min_bytes,
                                   out_dtype=ml_dtypes.bfloat16)
     return qtree, quantized_bytes(qtree)
+
+
+def _cast_unquantized_to(tree, dtype=None):
+    """Cast non-QTensor floating leaves (routers, norms, biases) to the
+    serving dtype — mirrors quantize_stacked_tree's out_dtype cast so the
+    random-init fast path (which merges routers AFTER quantization) ends
+    with the same leaf dtypes as the checkpoint path (merge-then-quantize)."""
+    import ml_dtypes
+
+    from ..ops.quant import QTensor
+
+    dtype = ml_dtypes.bfloat16 if dtype is None else dtype
+
+    def visit(leaf):
+        if isinstance(leaf, QTensor):
+            return leaf
+        arr = np.asarray(leaf)
+        if np.issubdtype(arr.dtype, np.floating) or str(arr.dtype) == "bfloat16":
+            return arr.astype(dtype)
+        return leaf
+
+    return jax.tree.map(visit, tree, is_leaf=lambda x: isinstance(x, QTensor))
 
 
 def build_quantized_wan(
@@ -235,6 +262,7 @@ def build_quantized_wan(
     else:
         from ..ops.quant import quantized_bytes
 
+        stack = _cast_unquantized_to(stack)
         nbytes = quantized_bytes(stack)
         qtree = jax.tree.map(jnp.asarray, stack)
         jax.block_until_ready(jax.tree.leaves(qtree))
@@ -325,6 +353,8 @@ def build_quantized_hunyuan(
     else:
         from ..ops.quant import quantized_bytes
 
+        host_dual = _cast_unquantized_to(host_dual)
+        host_single = _cast_unquantized_to(host_single)
         nb1, nb2 = quantized_bytes(host_dual), quantized_bytes(host_single)
         q_dual = jax.tree.map(jnp.asarray, host_dual)
         q_single = jax.tree.map(jnp.asarray, host_single)

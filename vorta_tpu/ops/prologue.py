@@ -25,12 +25,28 @@ wants anyway.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Read once at import: the gate is consulted at TRACE time inside jitted
+# model code, so flipping it after a program is compiled has no effect on
+# cached executables anyway.  Change it via set_prologue_mode() (and expect
+# a retrace), not by mutating the environment mid-process.
+_PROLOGUE_MODE = os.environ.get("VORTA_PROLOGUE", "fused")
+
+
+def set_prologue_mode(mode: str) -> None:
+    """Override the fused-prologue gate ('fused' | 'off').
+
+    Only affects programs traced AFTER the call — already-compiled
+    executables keep whatever mode they were traced with."""
+    global _PROLOGUE_MODE
+    _PROLOGUE_MODE = mode
 
 
 def _row_cap(dim: int) -> int:
@@ -169,10 +185,8 @@ def supports_prologue(s: int, dim: int, num_heads: int) -> bool:
 def use_fused_prologue(routing_mode: str, s: int, dim: int, num_heads: int) -> bool:
     """Inference-path gate shared by all call sites: no VJP is defined, so
     the soft-routing training path keeps the differentiable XLA ops."""
-    import os
-
     return (
         routing_mode != "soft"
-        and os.environ.get("VORTA_PROLOGUE", "fused") == "fused"
+        and _PROLOGUE_MODE == "fused"
         and supports_prologue(s, dim, num_heads)
     )

@@ -267,6 +267,60 @@ def fused_routed_attention(
             [one_head(hh) for hh in range(q.shape[1])], axis=1
         )
 
+    def lowres_all_hybrid():
+        # Per-head cond POOL (only routed heads' data moves) into one
+        # concatenated pooled buffer, then ONE masked attention call over
+        # all heads (zero-count rows cost ~nothing in flash_manual), then
+        # per-head cond UNPOOL.  MEASURED NEGATIVE on v5e (round 5):
+        # mixed 5L/7S 54.1 ms vs 50.8 per-head, all-lowres 69.8 vs 66.7 —
+        # the pooled-buffer concat (3 x (B,H,P,D) materialized) and the
+        # masked call's zero-row grid sweep cost more than the 4 saved
+        # kernel launches.  Kept selectable (VORTA_LOWRES_DISPATCH=hybrid)
+        # as the record of the experiment.
+        from .coreset_pallas import pool_qkv, unpool
+
+        h = q.shape[1]
+        p_len = groups.pooled_length
+        geom = groups._geom  # type: ignore[attr-defined]
+        t, hh_, w = geom.latent_shape
+        wt, wh, ww = geom.window
+        picks_shape = (q.shape[0], 1, t // wt, hh_ // wh, w // ww,
+                       groups.num_kept_margins)
+
+        def pool_head(i):
+            def do():
+                return pool_qkv(q[:, i : i + 1], k[:, i : i + 1],
+                                v[:, i : i + 1], groups, return_picks=True,
+                                interpret=interpret)
+
+            def skip():
+                z = jnp.zeros((q.shape[0], 1, p_len, q.shape[3]), q.dtype)
+                return z, z, z, jnp.zeros(picks_shape, jnp.int32)
+
+            return jax.lax.cond(expert_id[i] == LOWRES, do, skip)
+
+        pooled = [pool_head(i) for i in range(h)]
+        pq = jnp.concatenate([p[0] for p in pooled], axis=1)
+        pk = jnp.concatenate([p[1] for p in pooled], axis=1)
+        pv = jnp.concatenate([p[2] for p in pooled], axis=1)
+        out_p = _masked_call(
+            geo.lowres, pq, pk, pv, expert_id == LOWRES,
+            geo.tokens_per_tile, scale, interpret,
+        )[:, :, :p_len]
+
+        def unpool_head(i):
+            return jax.lax.cond(
+                expert_id[i] == LOWRES,
+                lambda: unpool(out_p[:, i : i + 1], q[:, i : i + 1], groups,
+                               picks=pooled[i][3],
+                               interpret=interpret).astype(q.dtype),
+                lambda: jnp.zeros(
+                    (q.shape[0], 1, q.shape[2], q.shape[3]), q.dtype
+                ),
+            )
+
+        return jnp.concatenate([unpool_head(i) for i in range(h)], axis=1)
+
     def lowres_all_batched():
         # ONE pool + attend + unpool over all heads with a traced packed
         # head_map intended to elide padded positions' DMA via block
@@ -325,11 +379,11 @@ def fused_routed_attention(
                     geo.tokens_per_tile, scale, interpret,
                 )[:, :, :s]
 
-            lowres_all = (
-                lowres_all_batched
-                if os.environ.get("VORTA_LOWRES_DISPATCH") == "batched"
-                else lowres_all_perhead
-            )
+            lowres_all = {
+                "batched": lowres_all_batched,
+                "hybrid": lowres_all_hybrid,
+            }.get(os.environ.get("VORTA_LOWRES_DISPATCH", ""),
+                  lowres_all_perhead)
 
             def guard(e, branch):
                 return jax.lax.cond(
