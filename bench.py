@@ -120,6 +120,13 @@ def main():
                          "(ops/qmm.py) — secondary number, primary stays bf16; "
                          "int8_static self-calibrates static activation scales "
                          "first (no amax passes — quantize fuses into producers)")
+    ap.add_argument("--composed", default="auto", choices=["auto", "off"],
+                    help="auto: at 720p with a trained router, also measure "
+                         "the composed serving arm (routing + int8_static + "
+                         "step cache over a real flow-match trajectory, one "
+                         "dispatch) and report vs_baseline_composed")
+    ap.add_argument("--composed_steps", type=int, default=20)
+    ap.add_argument("--cache_threshold", type=float, default=0.7)
     args = ap.parse_args()
     try:
         interpret = jax.default_backend() != "tpu"
@@ -184,33 +191,33 @@ def main():
         jax.random.PRNGKey(1), (b, WAN_1_3B.text_len, WAN_1_3B.text_dim), jnp.bfloat16
     )
 
-    mm = args.mm
-    act_scales = None
-    if args.mm == "int8_static":
+    def calibrate_static_scales():
         # self-calibrate: collect per-(site, layer) amaxes at a few
         # timesteps under the measured routing mode (tools/calibrate_int8.py
         # is the standalone workflow)
-        mm = "int8"
-
         @jax.jit
         def calib_fwd(rstate, fstate, lat, ctx, t):
             m = nnx.merge(graphdef, rstate, fstate)
             return m(lat, t, ctx, attn_cfg=attn, routing_mode="hard",
                      calibrate_mm=True).mm_calibration
 
-        import numpy as _np
-
         amax = None
         for ts in (200.0, 500.0, 800.0):
             a = jax.tree.map(
-                _np.asarray,
+                np.asarray,
                 calib_fwd(router_state, frozen_state, latents, context,
                           jnp.full((b,), ts)),
             )
             amax = a if amax is None else {
-                k: _np.maximum(amax[k], a[k]) for k in amax
+                k: np.maximum(amax[k], a[k]) for k in amax
             }
-        act_scales = {k: v / 127.0 for k, v in amax.items()}
+        return {k: v / 127.0 for k, v in amax.items()}
+
+    mm = args.mm
+    act_scales = None
+    if args.mm == "int8_static":
+        mm = "int8"
+        act_scales = calibrate_static_scales()
 
     # all big tensors ride as jit ARGS: closure constants would be baked into
     # the compile request (the frozen DiT state alone is ~2.9GB)
@@ -268,6 +275,71 @@ def main():
             random_router_state, *big)
         result["routed_ms_random_router"] = round(random_s * 1e3, 2)
         result["vs_baseline_random_router"] = round(full_s / random_s, 4)
+
+    # --- composed serving arm: routing + W8A8-static + step cache over a
+    # REAL flow-match trajectory in ONE scan dispatch.  This is the
+    # production serving config and the composition the reference's 14.4x
+    # headline refers to (arXiv 2505.18809: VORTA combined with other
+    # accelerations); the 14B-scale equivalent lives in
+    # tools/bench_wan14b.py --cache_threshold.
+    poly_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "assets", "cache_poly_wan1_3b_720p.npz")
+    if (args.composed == "auto" and args.geom == "720p" and trained
+            and os.path.exists(poly_path)):
+        from vorta_tpu.ops.stepcache import init_step_cache
+        from vorta_tpu.schedulers.flow_match import FlowMatchEulerSchedule
+
+        steps = args.composed_steps
+        schedule = FlowMatchEulerSchedule.create(steps, shift=5.0)
+        sig = jnp.asarray(schedule.sigmas)
+        tsteps = jnp.asarray(schedule.timesteps)
+        coeffs = tuple(float(c) for c in np.load(poly_path)["coefficients"])
+        c_scales = act_scales if act_scales is not None else calibrate_static_scales()
+        seq = attn.seq_len
+        ind_dim = 6 * WAN_1_3B.dim
+
+        @jax.jit
+        def composed_run(rstate, fstate, lat0, ctx):
+            def body(carry, i):
+                lat, cache = carry
+                m = nnx.merge(graphdef, rstate, fstate)
+                force = (i < 1) | (i == steps - 1)
+                out = m(lat.astype(jnp.bfloat16), jnp.full((b,), tsteps[i]),
+                        ctx, attn_cfg=attn, routing_mode="hard",
+                        mm_precision="int8", act_scales=c_scales,
+                        step_cache=cache,
+                        cache_threshold=args.cache_threshold,
+                        cache_force_compute=force,
+                        cache_coefficients=coeffs)
+                v = out.sample.astype(jnp.float32)
+                lat = lat + (sig[i + 1] - sig[i]) * v
+                # a computed step resets acc to 0; a skipped step carries >0
+                skipped = (out.step_cache.acc > 0).astype(jnp.int32)
+                return (lat, out.step_cache), skipped
+
+            cache0 = init_step_cache(b, seq, WAN_1_3B.dim, ind_dim,
+                                     jnp.bfloat16)
+            (latf, _), skips = jax.lax.scan(
+                body, (lat0.astype(jnp.float32), cache0), jnp.arange(steps))
+            return latf.mean(), skips.sum()
+
+        _m, _s = composed_run(router_state, frozen_state, latents, context)
+        jax.block_until_ready((_m, _s))  # compile + warm
+        t0 = time.perf_counter()
+        _m, n_skip = composed_run(router_state, frozen_state, latents, context)
+        jax.block_until_ready((_m, n_skip))
+        composed_s = (time.perf_counter() - t0) / steps
+        result["composed_ms_per_step"] = round(composed_s * 1e3, 2)
+        result["vs_baseline_composed"] = round(full_s / composed_s, 4)
+        result["composed"] = {
+            "mm": "int8_static",
+            "cache_threshold": args.cache_threshold,
+            "steps": steps, "skips": int(n_skip),
+            "note": "routing + W8A8 static + step cache on a real "
+                    "trajectory; skip rate from the random-weight-fitted "
+                    "cache polynomial — refit on real checkpoints before "
+                    "quoting quality",
+        }
     print(json.dumps(result), flush=True)
 
 
