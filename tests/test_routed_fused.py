@@ -149,3 +149,26 @@ def test_fused_under_jit_with_traced_ids():
     ref2 = sta_attention(q, k, v, CFG, interpret=True)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=3e-5, atol=3e-5)
     assert np.abs(np.asarray(out1[:, 0]) - np.asarray(out2[:, 0])).max() > 1e-4
+
+
+def test_fused_qk_int8_close_to_bf16():
+    """Serving-mode int8 QK^T (cfg.qk_int8): full + lowres experts run the
+    QK dot on the int8 MXU path with dynamic per-head scales; output must
+    stay within standard int8 quantization noise of the bf16 path."""
+    import dataclasses
+
+    q, k, v = rand_qkv(jax.random.PRNGKey(21))
+    cfg8 = dataclasses.replace(CFG, qk_int8=True)
+    ids = jnp.asarray([FULL, LOWRES, STA, FULL], jnp.int32)
+    ref = fused_routed_attention(q, k, v, ids, CFG, interpret=True)
+    out = fused_routed_attention(q, k, v, ids, cfg8, interpret=True)
+    ref = np.asarray(ref, np.float32)
+    out = np.asarray(out, np.float32)
+    # STA heads are untouched (bf16 kernel) — must be bitwise-equal
+    np.testing.assert_array_equal(out[:, 2], ref[:, 2])
+    # int8-QK heads: relative error bounded by quantization noise
+    denom = np.maximum(np.abs(ref).mean(), 1e-6)
+    rel = np.abs(out - ref).mean() / denom
+    assert rel < 0.05, rel
+    # and the config round-trips through json with the new field
+    assert AttentionConfig.from_json(cfg8.to_json()).qk_int8 is True

@@ -43,6 +43,12 @@ class AttentionConfig:
     # routing
     tau_sparse: float = 0.3
     num_experts: int = 3
+    # serving-only: run the full/lowres experts' QK^T on the int8 MXU path
+    # (SageAttention-style, dynamic per-head symmetric scales).  Measured
+    # 1.18x on full attention / 1.16x on the pooled lowres expert at Wan
+    # 720p on v5e; the STA expert stays bf16 (VPU-bound, measured 0.98x).
+    # Inference only — the soft-routed training path ignores it.
+    qk_int8: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "latent_shape", _tuple3(self.latent_shape))

@@ -41,6 +41,7 @@ def _kernel(
     block_kv: int,
     cast_p_to_v_dtype: bool,
     softmax: str = "stable",  # "stable" (running max) | "fast" (see wrapper)
+    qk_int8: bool = False,
 ):
     it = iter(refs)
     kv_index_ref = next(it)
@@ -51,6 +52,7 @@ def _kernel(
     k_hbm = next(it)
     v_hbm = next(it)
     bias_ref = next(it) if has_bias else None  # (1, Skv) f32 in VMEM
+    qkc_ref = next(it) if qk_int8 else None  # (1, 1) f32 per-head dequant
     (
         out_ref,
         m_s,
@@ -120,13 +122,23 @@ def _kernel(
 
         k = k_buf[slot]
         v = v_buf[slot]
-        s = jax.lax.dot_general(
-            q, k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if softmax != "fast":  # fast mode: q arrives pre-scaled (host side)
-            s = s * (scale * LOG2E)
+        if qk_int8:
+            # int8 x int8 -> int32 on the MXU (2x the bf16 rate on v5e);
+            # the per-head dequant factor (q_scale*k_scale*scale*log2e)
+            # folds into ONE f32 multiply on the scores
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qkc_ref[h, 0]
+        else:
+            s = jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if softmax != "fast":  # fast mode: q arrives pre-scaled (host)
+                s = s * (scale * LOG2E)
 
         kv_block = kv_index_ref[th, i, j]
         if has_bias:
@@ -209,6 +221,7 @@ def sparse_flash_attention_manual(
     cast_p_to_v_dtype: bool = True,
     interpret: bool = False,
     softmax: str = "stable",
+    qk_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Same contract as ops.flash.sparse_flash_attention_raw (forward only).
 
@@ -219,6 +232,14 @@ def sparse_flash_attention_manual(
     softmax="fast" drops the online running max (q pre-scaled host-side,
     unnormalized exp2 — output invariant to p's constant scale).  Only for
     qk-normed inputs: see ops/sta_pipe.py for the f32 range argument.
+
+    qk_scale: opt-in int8 QK^T (SageAttention-style serving mode): q and k
+    must arrive already quantized to int8 (symmetric, per head) and
+    ``qk_scale`` is the (H,) f32 PRODUCT of their per-head dequant scales
+    (sq*sk).  The kernel runs the QK dot on the int8 MXU path (2x bf16
+    rate on v5e) and dequantizes scores with one fused multiply; the
+    attention scale and exp2 base-change fold into the same factor.  V (and
+    the PV dot) stay in v.dtype.  Requires softmax="fast".
     """
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -252,7 +273,14 @@ def sparse_flash_attention_manual(
         subtile = (tokens_per_tile, m_sub, k_sub)
     per_head_valid = kv_valid is not None
 
-    if softmax == "fast":
+    qk_int8 = qk_scale is not None
+    if qk_int8:
+        if softmax != "fast":
+            raise ValueError("qk_scale (int8 QK) requires softmax='fast'")
+        if q.dtype != jnp.int8 or k.dtype != jnp.int8:
+            raise ValueError("qk_scale requires int8 q and k")
+        qkc = (qk_scale.astype(jnp.float32) * (scale * LOG2E)).reshape(h, 1)
+    elif softmax == "fast":
         q = q * jnp.asarray(scale * LOG2E, q.dtype)
 
     has_bias = kv_bias is not None
@@ -269,6 +297,7 @@ def sparse_flash_attention_manual(
         block_kv=block_kv,
         cast_p_to_v_dtype=cast_p_to_v_dtype,
         softmax=softmax,
+        qk_int8=qk_int8,
     )
 
     prefetch = [kv_index, kv_count]
@@ -291,6 +320,11 @@ def sparse_flash_attention_manual(
         # the pipeline fetches it once
         in_specs.append(pl.BlockSpec((1, skv), lambda bb, hh, ii, *r: (0, 0)))
         inputs.append(kv_bias.astype(jnp.float32).reshape(1, skv))
+    if qk_int8:
+        # whole (H, 1) dequant-factor vector as one block (TPU lowering
+        # rejects (1, 1) blocks); the kernel indexes it by program_id(1)
+        in_specs.append(pl.BlockSpec((h, 1), lambda bb, hh, ii, *r: (0, 0)))
+        inputs.append(qkc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
@@ -308,10 +342,11 @@ def sparse_flash_attention_manual(
     )
 
     avg_width = kv_index.shape[2]
+    out_dtype = v.dtype if qk_int8 else q.dtype
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),

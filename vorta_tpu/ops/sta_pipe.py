@@ -133,6 +133,7 @@ def _kernel(
     variant: str = "full",  # diagnostic: full | dots | qk | sT (sT measured 34.9 vs 33.0 ms — operand swap does not help)
     masked_w: bool = False,  # full-width scores + static w-window bias
     grouped: Optional[tuple] = None,  # (n_groups, bw8, los, w_padded) for tw|8
+    qk_int8: bool = False,
 ):
     it = iter(refs)
     _tab_ref = next(it)  # (n_rows, 2) tile-unit starts (consumed by index maps)
@@ -145,6 +146,7 @@ def _kernel(
     tk_ref = next(it) if text_len else None  # (1, 1, Lt, D)
     tv_ref = next(it) if text_len else None
     bias_ref = next(it) if text_len else None  # (1, Lt) f32
+    qkc_ref = next(it) if qk_int8 else None  # (1, 1) f32 per-head dequant
     out_ref = next(it)  # (1, 1, tt, th, W, D)
     m_s = next(it)  # (nw, tpt, 1) f32 — one softmax state per w q-tile
     l_s = next(it)
@@ -192,6 +194,21 @@ def _kernel(
     k_chunk = k_ref[0, 0]
     v_chunk = v_ref[0, 0]
 
+    def qk_dot(qm, km):
+        if qk_int8:
+            # int8 x int8 -> int32 on the MXU (2x bf16 rate); one fused f32
+            # multiply dequantizes (per-head q_scale*k_scale*scale*log2e)
+            return jax.lax.dot_general(
+                qm, km,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qkc_ref[g, 0]
+        return jax.lax.dot_general(
+            qm, km,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     def soft_pv(wi, s, v_wi):
         if softmax == "fast":
             # Unnormalized exp: softmax output is invariant to a constant
@@ -234,11 +251,7 @@ def _kernel(
             for gi in range(n_groups):
                 lo = g_los[gi]
                 k_g = k_chunk[:, :, lo : lo + bw8, :].reshape(cols, d)
-                s = jax.lax.dot_general(
-                    qs[gi], k_g,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                s = qk_dot(qs[gi], k_g)
                 rows = qs[gi].shape[0]
                 s = (
                     s.reshape(rows // 8, 8, cols)
@@ -250,11 +263,7 @@ def _kernel(
         if masked_w:
             kv_len = k_chunk.shape[0] * k_chunk.shape[1] * k_chunk.shape[2]
             k_all = k_chunk.reshape(kv_len, d)
-            s = jax.lax.dot_general(
-                qs[0], k_all,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + wmask_ref[...]
+            s = qk_dot(qs[0], k_all) + wmask_ref[...]
             v_all = v_chunk.reshape(kv_len, d)
             soft_pv(0, s, v_all)
             return
@@ -281,11 +290,7 @@ def _kernel(
                     preferred_element_type=jnp.float32,
                 )
                 continue
-            s = jax.lax.dot_general(
-                qs[wi], k_wi,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            s = qk_dot(qs[wi], k_wi)
             if variant == "qk":
                 acc_s[wi] += jnp.sum(s, axis=-1, keepdims=True) * 1e-3
                 continue
@@ -309,11 +314,7 @@ def _kernel(
                 kt = tk_ref[0, 0]
                 vt = tv_ref[0, 0]
                 for wi in range(len(qs)):
-                    s = jax.lax.dot_general(
-                        qs[wi], kt,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    ) + bias_ref[0][None, :]
+                    s = qk_dot(qs[wi], kt) + bias_ref[0][None, :]
                     soft_pv(wi, s, vt)
         a = (active_ref[g] > 0).astype(jnp.float32)
         if grouped is not None:
@@ -409,8 +410,16 @@ def sta_pipe_attention(
     interpret: bool = False,
     softmax: str = "fast",
     variant: str = "full",
+    qk_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Same contract as ops.sta_row.sta_row_attention.
+
+    ``qk_scale``: opt-in int8 QK^T — q and k (and text_k, if any) arrive
+    already quantized to int8 with per-head symmetric scales whose PRODUCT
+    (sq*sk) is ``qk_scale`` (H,) f32; the QK dots run on the int8 MXU path
+    and one fused multiply dequantizes the scores (the attention scale and
+    exp2 base change fold into the same factor).  V stays in v.dtype.
+    Requires softmax="fast" and variant="full".
 
     ``softmax="fast"`` (default) drops the online running max: q is
     pre-scaled by scale*log2(e) on the host and the kernel computes
@@ -476,8 +485,19 @@ def sta_pipe_attention(
         np.stack([starts_el[:, 0] // tt, starts_el[:, 1] // th], axis=1),
         jnp.int32,
     )
-    # fold the scale and the exp->exp2 base change into q once, host-side
-    q6 = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(b, n_heads, t, hh, w, d)
+    qk_int8 = qk_scale is not None
+    if qk_int8:
+        if softmax != "fast" or variant != "full":
+            raise ValueError("qk_scale requires softmax='fast', variant='full'")
+        if q.dtype != jnp.int8 or k.dtype != jnp.int8:
+            raise ValueError("qk_scale requires int8 q and k")
+        q6 = q.reshape(b, n_heads, t, hh, w, d)
+        qkc = (qk_scale.astype(jnp.float32) * (scale * LOG2E)).reshape(
+            n_heads, 1)
+    else:
+        # fold the scale and the exp->exp2 base change into q once, host-side
+        q6 = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(
+            b, n_heads, t, hh, w, d)
     k6 = k.reshape(b, n_heads, t, hh, w, d)
     v6 = v.reshape(b, n_heads, t, hh, w, d)
     w_eff = w
@@ -511,6 +531,7 @@ def sta_pipe_attention(
         variant=variant,
         masked_w=masked_w,
         grouped=grouped,
+        qk_int8=qk_int8,
     )
 
     wh = win_eff[1]
@@ -546,6 +567,13 @@ def sta_pipe_attention(
         inputs += [text_k.reshape(b, n_heads, text_len, d),
                    text_v.reshape(b, n_heads, text_len, d),
                    text_bias]
+    if qk_int8:
+        # whole (H, 1) dequant vector as one block ((1, 1) blocks are not
+        # lowerable); the kernel indexes it by the head program id
+        in_specs.append(
+            pl.BlockSpec((n_heads, 1), lambda bb, gg, ii, jj, *r: (0, 0))
+        )
+        inputs.append(qkc)
     if grouped is not None:
         n_groups = grouped[0]
         rows_g = qm * tt * th * 8
@@ -575,7 +603,7 @@ def sta_pipe_attention(
             out_specs=pl.BlockSpec((1, 1, qm * tt, th, w_eff, d), q_map),
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct(q6.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(q6.shape, v.dtype if qk_int8 else q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=64 * 2**20,
