@@ -127,6 +127,12 @@ def main():
                          "dispatch) and report vs_baseline_composed")
     ap.add_argument("--composed_steps", type=int, default=20)
     ap.add_argument("--cache_threshold", type=float, default=0.7)
+    ap.add_argument("--qk", default="bf16", choices=["bf16", "int8"],
+                    help="int8: run the full/lowres experts' QK^T on the "
+                         "int8 MXU path (AttentionConfig.qk_int8) in the "
+                         "routed arm — secondary serving number; the primary "
+                         "protocol and the full baseline stay bf16. The "
+                         "composed serving arm always uses it.")
     args = ap.parse_args()
     try:
         interpret = jax.default_backend() != "tpu"
@@ -219,20 +225,27 @@ def main():
         mm = "int8"
         act_scales = calibrate_static_scales()
 
+    import dataclasses as _dc
+
+    attn_routed = (_dc.replace(attn, qk_int8=True) if args.qk == "int8"
+                   else attn)
+
     # all big tensors ride as jit ARGS: closure constants would be baked into
     # the compile request (the frozen DiT state alone is ~2.9GB)
-    def fwd(c, i, rstate, fstate, lat, ctx, mode):
+    def fwd(c, i, rstate, fstate, lat, ctx, mode, acfg):
         m = nnx.merge(graphdef, rstate, fstate)
         t = jnp.full((b,), 500.0) + i.astype(jnp.float32)  # vary per iter
-        out = m(lat, t, ctx, attn_cfg=attn, routing_mode=mode,
+        out = m(lat, t, ctx, attn_cfg=acfg, routing_mode=mode,
                 mm_precision=mm, act_scales=act_scales)
         return c + out.sample.astype(jnp.float32).mean()
 
     big = (frozen_state, latents, context)
     full_s = device_seconds(
-        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "off"), router_state, *big)
+        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "off", attn),
+        router_state, *big)
     routed_s = device_seconds(
-        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"), router_state, *big)
+        lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard", attn_routed),
+        router_state, *big)
 
     # --- MFU: analytic matmul FLOPs over measured time (VERDICT round-3
     # item 10 — the speedup ceiling argument lives on the floor's MFU)
@@ -257,7 +270,8 @@ def main():
 
     result = {
         "metric": f"wan1.3b_{args.geom}_77f_denoise_fwd_ms_routed"
-                  + ("" if args.mm == "bf16" else f"_{args.mm}"),
+                  + ("" if args.mm == "bf16" else f"_{args.mm}")
+                  + ("" if args.qk == "bf16" else "_qk8"),
         "value": round(routed_s * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(full_s / routed_s, 4),
@@ -271,7 +285,7 @@ def main():
     }
     if trained:
         random_s = device_seconds(
-            lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard"),
+            lambda c, i, s, f, l, x: fwd(c, i, s, f, l, x, "hard", attn_routed),
             random_router_state, *big)
         result["routed_ms_random_router"] = round(random_s * 1e3, 2)
         result["vs_baseline_random_router"] = round(full_s / random_s, 4)
@@ -297,6 +311,9 @@ def main():
         c_scales = act_scales if act_scales is not None else calibrate_static_scales()
         seq = attn.seq_len
         ind_dim = 6 * WAN_1_3B.dim
+        # serving config: int8 QK^T on the full/lowres experts rides along
+        # with W8A8 FFN/projections (both are int8-MXU serving quantizations)
+        attn_c = _dc.replace(attn, qk_int8=True)
 
         @jax.jit
         def composed_run(rstate, fstate, lat0, ctx):
@@ -305,7 +322,7 @@ def main():
                 m = nnx.merge(graphdef, rstate, fstate)
                 force = (i < 1) | (i == steps - 1)
                 out = m(lat.astype(jnp.bfloat16), jnp.full((b,), tsteps[i]),
-                        ctx, attn_cfg=attn, routing_mode="hard",
+                        ctx, attn_cfg=attn_c, routing_mode="hard",
                         mm_precision="int8", act_scales=c_scales,
                         step_cache=cache,
                         cache_threshold=args.cache_threshold,
@@ -333,6 +350,7 @@ def main():
         result["vs_baseline_composed"] = round(full_s / composed_s, 4)
         result["composed"] = {
             "mm": "int8_static",
+            "qk": "int8",
             "cache_threshold": args.cache_threshold,
             "steps": steps, "skips": int(n_skip),
             "note": "routing + W8A8 static + step cache on a real "

@@ -43,6 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--mm", default="bf16", choices=["bf16", "int8"],
                    help="int8: W8A8 serving mode for block FFN/projections "
                         "(~2x MXU rate, small quality trade; ops/qmm.py)")
+    p.add_argument("--qk_int8", action="store_true",
+                   help="serving mode: run the full/lowres experts' QK^T on "
+                        "the int8 MXU path (dynamic per-head scales; ~1.16-"
+                        "1.18x those experts on v5e, ~0.3%% rel error; the "
+                        "STA expert stays bf16)")
     p.add_argument("--cfg_batch", action="store_true",
                    help="run CFG cond+uncond as one batch-2 forward "
                         "(2x activation memory, fewer dispatch gaps)")
@@ -221,6 +226,10 @@ def main(argv=None):
             lowres_window=(2, 2, 2) if args.model == "wan-tiny" else (2, 3, 2),
             tau_sparse=args.tau_sparse, **blocks,
         )
+    if args.qk_int8:
+        import dataclasses as _dc
+
+        attn_cfg = _dc.replace(attn_cfg, qk_int8=True)
 
     image_embeds = None
     if args.image_embeds:
@@ -399,6 +408,10 @@ def _main_hunyuan(args, interpret):
         )
     if args.resume_dir and (Path(args.resume_dir) / "config.json").exists():
         attn_cfg = AttentionConfig.load(Path(args.resume_dir) / "config.json")
+    if args.qk_int8:
+        import dataclasses as _dc
+
+        attn_cfg = _dc.replace(attn_cfg, qk_int8=True)
 
     print(f"[sample] model={args.model} grid={grid} routing="
           f"{'off' if args.native_attention else 'hard'} backend={jax.default_backend()}")

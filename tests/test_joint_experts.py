@@ -184,3 +184,26 @@ def test_routed_joint_hard_perhead_switch_path():
     np.testing.assert_allclose(np.asarray(video[:, 1]), np.asarray(lv[:, 1]), rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(video[:, 2]), np.asarray(sv[:, 2]), rtol=3e-5, atol=3e-5)
     assert np.all(np.asarray(text[:, :, eff:]) == 0)
+
+
+def test_joint_qk_int8_close_to_bf16():
+    """Serving-mode int8 QK^T (video.qk_int8) on the joint full + lowres
+    experts stays within quantization noise; STA heads are untouched."""
+    import dataclasses
+
+    qv, kv_, vv, qt, kt, vt, mask = rand_inputs(jax.random.PRNGKey(31))
+    jcfg8 = JointConfig(video=dataclasses.replace(VIDEO, qk_int8=True),
+                        text_len=L)
+    scores = jnp.zeros((qv.shape[0], qv.shape[1], 3), jnp.float32)
+    scores = scores.at[:, 0, FULL].set(1.0).at[:, 1, LOWRES].set(1.0)
+    v_ref, t_ref = routed_joint_attention(
+        qv, kv_, vv, qt, kt, vt, scores, mask, JCFG, mode="hard",
+        interpret=True)
+    v8, t8 = routed_joint_attention(
+        qv, kv_, vv, qt, kt, vt, scores, mask, jcfg8, mode="hard",
+        interpret=True)
+    for ref, out in ((v_ref, v8), (t_ref, t8)):
+        ref = np.asarray(ref, np.float32)
+        out = np.asarray(out, np.float32)
+        rel = np.abs(out - ref).mean() / max(np.abs(ref).mean(), 1e-6)
+        assert rel < 0.05, rel

@@ -36,7 +36,7 @@ from .coreset import pool_by_similarity, unpool_by_similarity
 from .experts import FULL, LOWRES, STA, lowres_groups_for
 from .flash_manual import sparse_flash_attention_manual
 from .layout import tile_sequence, untile_sequence
-from .routed_fused import _sta_blocks, route_expert_ids
+from .routed_fused import _quantize_per_head, _sta_blocks, route_expert_ids
 from .sta_batched import sta_flash_headbatched
 from .sta_row import sta_row_attention, supports_row_dense
 from .sta_window import sta_window_attention
@@ -208,11 +208,19 @@ def joint_full_attention(
         active = jnp.ones((h,), bool)
     cnt_t = jnp.where(active[:, None], jnp.broadcast_to(jnp.asarray(cnt), (h,) + cnt.shape[1:]), 0)
     bias = _bias(text_mask, layout, jcfg.video.seq_len)
+    out_dtype = q.dtype
+    qk_scale = None
+    if getattr(jcfg.video, "qk_int8", False):
+        # serving mode: int8 QK^T with dynamic per-head scales (video and
+        # text tokens share the head's scale); see ops/routed_fused.py
+        q, sq = _quantize_per_head(q)
+        k, sk = _quantize_per_head(k)
+        qk_scale = sq * sk
     out = sparse_flash_attention_manual(
         q, k, v, jnp.asarray(idx), cnt_t,
         scale=scale, block_q=layout.block_q, block_kv=layout.block_kv,
-        kv_bias=bias, interpret=interpret, softmax="fast",
-    )
+        kv_bias=bias, interpret=interpret, softmax="fast", qk_scale=qk_scale,
+    ).astype(out_dtype)
     return _split(out, layout, jcfg.video.seq_len, jcfg.text_len)
 
 
@@ -248,11 +256,17 @@ def joint_lowres_attention(
         active = jnp.ones((h,), bool)
     cnt_t = jnp.where(active[:, None], jnp.broadcast_to(jnp.asarray(cnt), (h,) + cnt.shape[1:]), 0)
     bias = _bias(text_mask, layout, groups.pooled_length)
+    out_dtype = q.dtype
+    qk_scale = None
+    if getattr(jcfg.video, "qk_int8", False):
+        q, sq = _quantize_per_head(q)
+        k, sk = _quantize_per_head(k)
+        qk_scale = sq * sk
     out = sparse_flash_attention_manual(
         q, k, v, jnp.asarray(idx), cnt_t,
         scale=scale, block_q=layout.block_q, block_kv=layout.block_kv,
-        kv_bias=bias, interpret=interpret, softmax="fast",
-    )
+        kv_bias=bias, interpret=interpret, softmax="fast", qk_scale=qk_scale,
+    ).astype(out_dtype)
     pooled_out, text_out = _split(out, layout, groups.pooled_length, jcfg.text_len)
     video_out = unpool_pallas(pooled_out, qv, groups, picks=picks,
                               interpret=interpret, **hm_kw).astype(qv.dtype)
