@@ -54,6 +54,10 @@ def main():
                          "the off arm (use --fit_full's full_ms_fit)")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--flow_shift", type=float, default=7.0)
+    ap.add_argument("--qk_int8", action="store_true",
+                    help="serving mode: int8 QK^T on the joint full/lowres "
+                         "experts (routed + composed arms; the dense "
+                         "denominator stays bf16)")
     ap.add_argument("--calib_frames", type=int, default=45,
                     help="frame count for the int8_static calibration "
                          "forwards (the full 117f calibration pass OOMs "
@@ -81,6 +85,7 @@ def main():
         latent_shape=grid, sta_window=(3, 3, 3), sta_tile=(6, 9, 8),
         lowres_window=(2, 3, 2), block_q=1024, block_kv=1024, tau_sparse=0.3,
     )
+    attn_r = dataclasses.replace(attn, qk_int8=True) if args.qk_int8 else attn
 
     cfg1 = dataclasses.replace(cfg, dual_layers=1, single_layers=1)
     model = HunyuanModel(cfg1, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
@@ -288,8 +293,9 @@ def main():
                 m = nnx.merge(graphdef, state)
                 lat = latents * (1 + 0.001 * i.astype(jnp.bfloat16))
                 out = m(lat, jnp.full((b,), 500.0), text, mask, pooled,
-                        guidance=guidance, attn_cfg=attn, routing_mode=mode,
-                        quantized_blocks=qpair,
+                        guidance=guidance,
+                        attn_cfg=attn if mode == "off" else attn_r,
+                        routing_mode=mode, quantized_blocks=qpair,
                         mm_precision=mm, act_scales=act_scales)
                 return c + out.sample.astype(jnp.float32).mean(), ()
 
@@ -339,7 +345,7 @@ def main():
         def step_fn(state, qpair, lat, t, c_in, force, thr):
             m = nnx.merge(graphdef, state)
             out = m(lat.astype(jnp.bfloat16), t, text, mask, pooled,
-                    guidance=guidance, attn_cfg=attn, routing_mode="hard",
+                    guidance=guidance, attn_cfg=attn_r, routing_mode="hard",
                     quantized_blocks=qpair, mm_precision=mm,
                     act_scales=act_scales, step_cache=c_in,
                     cache_threshold=thr,
@@ -384,6 +390,7 @@ def main():
                 "model": "hunyuan-13B", "arm": "routed+cache",
                 "geometry": f"{args.frames}f@{args.height}p",
                 "bits": args.bits, "mm": args.mm,
+                "qk": "int8" if args.qk_int8 else "bf16",
                 "cache_threshold": threshold,
                 "cache_poly": bool(coeffs),
                 "steps": args.steps, "skips": skips,

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--steps", type=int, default=20,
                     help="trajectory length for the --cache_threshold arm")
     ap.add_argument("--flow_shift", type=float, default=5.0)
+    ap.add_argument("--qk_int8", action="store_true",
+                    help="serving mode: int8 QK^T on the full/lowres experts "
+                         "(routed + composed arms only; the full-attention "
+                         "denominator stays bf16)")
     args = ap.parse_args()
 
     import dataclasses
@@ -74,6 +78,7 @@ def main():
         # not fit HBM next to the quantized stack
         lowres_window=(2, 3, 2), block_q=1000, block_kv=1000, tau_sparse=0.3,
     )
+    attn_r = dataclasses.replace(attn, qk_int8=True) if args.qk_int8 else attn
 
     # depth-1 host model supplies the non-block modules + the block graphdef;
     # the real 40-block stack arrives via quantized_blocks
@@ -191,7 +196,8 @@ def main():
             def body(c, i):
                 m = nnx.merge(graphdef, state)
                 lat = latents * (1 + 0.001 * i.astype(jnp.bfloat16))
-                out = m(lat, jnp.full((b,), 500.0), context, attn_cfg=attn,
+                out = m(lat, jnp.full((b,), 500.0), context,
+                        attn_cfg=attn if mode == "off" else attn_r,
                         routing_mode=mode, quantized_blocks=qtree,
                         mm_precision=mm, act_scales=act_scales)
                 return c + out.sample.astype(jnp.float32).mean(), ()
@@ -238,7 +244,7 @@ def main():
         @jax.jit
         def step_fn(state, qtree, lat, t, cache, force):
             m = nnx.merge(graphdef, state)
-            out = m(lat.astype(jnp.bfloat16), t, context, attn_cfg=attn,
+            out = m(lat.astype(jnp.bfloat16), t, context, attn_cfg=attn_r,
                     routing_mode="hard", quantized_blocks=qtree,
                     mm_precision=mm, act_scales=act_scales,
                     step_cache=cache, cache_threshold=args.cache_threshold,
@@ -277,6 +283,7 @@ def main():
             "model": "wan-14B", "arm": "routed+cache",
             "geometry": f"{args.frames}f@{args.height}p",
             "bits": args.bits, "mm": args.mm,
+            "qk": "int8" if args.qk_int8 else "bf16",
             "cache_threshold": args.cache_threshold,
             "cache_poly": bool(coeffs),
             "steps": args.steps, "skips": skips,
