@@ -50,23 +50,30 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--out", default="assets/bench_router_wan1_3b.npz")
     ap.add_argument("--latent", type=int, nargs=3, default=(4, 12, 16))
-    ap.add_argument("--geom", default=None, choices=[None, "720p"],
+    ap.add_argument("--geom", default=None,
+                    choices=[None, "720p", "720p_half"],
                     help="720p: train at the EXACT geometry bench.py serves "
                          "(latent 20x45x80, tile [5,9,8], 72000 tokens) — "
                          "the distill targets are geometry-dependent, so the "
                          "served mix should come from the served geometry "
                          "(VERDICT round-3 item 8). Forces --accum 1 "
-                         "(teacher+student at 72k tokens is HBM-bound)")
+                         "(teacher+student at 72k tokens is HBM-bound). "
+                         "720p_half: same spatial grid + serving tile/window "
+                         "at half the frames (10x45x80, 36000 tokens) — the "
+                         "nearest geometry whose train step fits the remote "
+                         "tunnel's 60 s single-dispatch kill (a 72k-token "
+                         "teacher+student step exceeds it)")
     args = ap.parse_args()
 
     interpret = jax.default_backend() != "tpu"
-    if args.geom == "720p":
-        args.latent = (20, 45, 80)
+    if args.geom in ("720p", "720p_half"):
+        t_lat = 20 if args.geom == "720p" else 10
+        args.latent = (t_lat, 45, 80)
         args.accum = 1
         if args.out == "assets/bench_router_wan1_3b.npz":
-            args.out = "assets/bench_router_wan1_3b_720p.npz"
+            args.out = f"assets/bench_router_wan1_3b_{args.geom}.npz"
         attn = AttentionConfig(
-            latent_shape=(20, 45, 80),
+            latent_shape=(t_lat, 45, 80),
             sta_window=(3, 3, 3),
             sta_tile=(5, 9, 8),
             lowres_window=(2, 3, 2),
