@@ -31,8 +31,25 @@ from flax import nnx
 
 from vorta_tpu.config import WAN_1_3B, AttentionConfig
 
-ROUTER_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "assets", "bench_router_wan1_3b.npz")
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+# Prefer the router trained at the serving tile/window geometry (VERDICT
+# round-3 item 8): 720p_half = the 720p spatial grid + serving STA tile
+# [5,9,8] at half the frames — the largest train geometry whose step fits
+# the remote tunnel's 60 s single-dispatch kill (72k-token teacher+student
+# steps exceed it; routers input only the timestep embedding, but the
+# distill targets are geometry-dependent).
+_ROUTER_CANDIDATES = (
+    ("720p_half-trained", os.path.join(
+        _ASSETS, "bench_router_wan1_3b_720p_half.npz")),
+    ("small-grid-trained", os.path.join(
+        _ASSETS, "bench_router_wan1_3b.npz")),
+)
+ROUTER_CKPT = next(
+    (p for _, p in _ROUTER_CANDIDATES if os.path.exists(p)),
+    _ROUTER_CANDIDATES[-1][1],
+)
+ROUTER_GEOM = next(
+    (g for g, p in _ROUTER_CANDIDATES if os.path.exists(p)), "none")
 
 
 def device_seconds(fn, *args, iters: int = 2) -> float:
@@ -276,7 +293,9 @@ def main():
         "unit": "ms",
         "vs_baseline": round(full_s / routed_s, 4),
         "full_ms": round(full_s * 1e3, 2),
-        "router": "trained-100step-reference-recipe" if trained else "random-init",
+        "router": ("trained-100step-reference-recipe" if trained
+                   else "random-init"),
+        "router_geom": ROUTER_GEOM if trained else "none",
         "routing_mix": mix,
         "full_tflops": round(full_tfs, 1),
         "full_mfu": round(full_tfs / V5E_PEAK_BF16_TFLOPS, 3),
